@@ -1,0 +1,21 @@
+"""logspark — a PySpark-native log/telemetry analytics engine.
+
+Brand-new implementation (not a port) of the capabilities of
+pitangainnovare/matomo-log-analytics (reference snapshot at /root/reference,
+cited per-file in module docstrings) re-expressed Spark-first:
+
+    parse -> enrich -> route -> aggregate
+
+over an Iceberg/parquet table of pre-tokenized sequences
+(doc_id:string, tokens:array<int32>, n_tok:int32, source:string).
+
+Design goals (BASELINE.json north_rule):
+  * vectorized parsing: Spark SQL regexp/json expressions + Arrow pandas UDFs,
+    never per-row Python;
+  * explicit partitioning on doc_id, salting for skewed sources, AQE skew-join;
+  * per-partition lineage + accumulator/observe metrics on every stage;
+  * resumable from checkpoint state (anti-join vs committed partitions);
+  * >=0.8 throughput scaling efficiency from N to 4N cores.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,75 @@
+"""Exclusion / classification rule tables + predicates.
+
+Analog of the reference's lookup dictionaries (/root/reference/libs/
+values.py:55-95), its date-conditional validity rules (/root/reference/libs/
+lib_status.py:85-116: scl x varnishncsa after 2020-04-29 -> invalid, etc.)
+and the implied importer's bot/static/excluded-host filters (SURVEY.md §0.1).
+
+Small rule tables are broadcast DataFrames (broadcast-hash-join enrichment per
+north_rule); tiny fixed pattern sets compile into a single rlike alternation
+(one regex, JVM-side) — both are O(rows) with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# bot user-agent markers (Matomo-import-logs-style exclusion class
+# `requests_done_by_bots`, counters at /root/reference/libs/lib_summary.py:14)
+BOT_MARKERS = ["bot", "crawler", "spider", "slurp", "archiver", "httpclient"]
+BOT_RE = "(?i)(" + "|".join(BOT_MARKERS) + ")"
+
+# static resource extensions (`requests_to_static_resources`, lib_summary.py:18)
+STATIC_EXTS = ["css", "js", "png", "gif", "ico", "svg", "woff", "woff2", "jpg", "jpeg"]
+
+# download extensions (Matomo routes these to the downloads sink)
+DOWNLOAD_EXTS = ["pdf", "zip", "tar.gz", "exe", "dmg", "apk", "gz", "mp3", "mp4"]
+
+# excluded path prefixes (`filtered_log_lines`, lib_summary.py:11)
+EXCLUDED_PATH_PREFIXES = ["/admin", "/internal", "/healthz"]
+
+# excluded hosts (exact match; broadcast equi-join)
+EXCLUDED_HOSTS = ["evil.example.com", "localhost"]
+
+# servers that are always invalid (analog of INVALID_SERVERS,
+# /root/reference/libs/values.py:88-95)
+INVALID_SOURCES: list[str] = []
+
+
+def ext_lookup_df(spark: SparkSession) -> DataFrame:
+    """(ext, ext_kind) broadcast table: static | download."""
+    rows = [(e, "static") for e in STATIC_EXTS] + [
+        (e, "download") for e in DOWNLOAD_EXTS if e not in ("gz",)
+    ]
+    rows.append(("gz", "download"))
+    return spark.createDataFrame(rows, "ext string, ext_kind string")
+
+
+def stem_expr(path: Column) -> Column:
+    """Path before the query string."""
+    idx = F.instr(path, "?")
+    return F.when(idx > 0, F.substring(path, F.lit(1), idx - 1)).otherwise(path)
+
+
+def query_expr(path: Column) -> Column:
+    idx = F.instr(path, "?")
+    return F.when(idx > 0, F.substring_index(path, "?", -1)).otherwise(F.lit(""))
+
+
+def is_bot(user_agent: Column) -> Column:
+    return user_agent.isNotNull() & user_agent.rlike(BOT_RE)
+
+
+def is_excluded_path(stem: Column) -> Column:
+    pred = F.lit(False)
+    for p in EXCLUDED_PATH_PREFIXES:
+        pred = pred | stem.startswith(p)
+    return pred
+
+
+def date_conditional_filtered(source: Column, ts: Column) -> Column:
+    """Date-conditional exclusion, shape of lib_status.py:89-97
+    (collection x server x date-boundary): varnish02 traffic after the 20th
+    of the month is excluded in the synthetic regime."""
+    return (source == "varnish02") & (F.dayofmonth(ts) > 20)

@@ -1,0 +1,155 @@
+"""Token-array <-> log-line codecs.
+
+Input corpus rows are pre-tokenized sequences (BASELINE.json input_hint:
+``tokens:array<int32>``). We use a byte-level vocabulary (token id = the
+character's code point, ASCII/latin-1 range) so detokenization is exact and
+the per-row invariant — token-array equality through every stage — is
+trivially checkable (``size(tokens) == n_tok`` plus full array equality).
+
+Three detokenizers, fastest first (measured in bench.py):
+
+  * ``detokenize_arrow`` — ``mapInArrow`` zero-copy-ish reconstruction: the
+    list<int32> values buffer, cast to uint8, IS the utf8 data buffer of the
+    output StringArray; offsets carry over. No per-row Python, no per-char
+    JVM objects. **Default hot path.**
+  * ``detokenize_pandas`` — Arrow-batched pandas UDF (template for real BPE
+    vocabularies that need a Python-side lookup table).
+  * ``detokenize_expr`` — pure Spark SQL (transform + char + array_join);
+    JVM-only but builds one single-char string per token (~10x slower, kept
+    for environments where Python workers are undesirable).
+
+``tokens`` is never mutated: all codecs derive NEW columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(line_col: str) -> Column:
+    """line -> array<int> of code points (generator-side helper, JVM)."""
+    return F.transform(F.split(F.col(line_col), ""), lambda c: F.ascii(c).cast("int"))
+
+
+def with_tokens(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Attach (tokens, n_tok) derived from a line column (generator side)."""
+    return df.withColumn("tokens", tokenize(line_col)).withColumn(
+        "n_tok", F.size("tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# detokenizers
+# ---------------------------------------------------------------------------
+
+
+def detokenize_expr(tokens_col: str = "tokens") -> Column:
+    """tokens -> line, pure Spark SQL."""
+    return F.array_join(F.transform(F.col(tokens_col), lambda t: F.char(t)), "")
+
+
+def _detok_list_array(arr: pa.Array) -> pa.Array:
+    """list<int32> -> string, reusing buffers (values become utf8 data)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lst = arr.cast(pa.list_(pa.uint8()))
+    # flatten() honors the list's own offset/validity window
+    data = lst.flatten()
+    buf = data.buffers()[1]
+    if data.offset:
+        buf = buf.slice(data.offset)
+    offsets = lst.offsets
+    off_buf = offsets.buffers()[1]
+    if offsets.offset:
+        off_buf = off_buf.slice(offsets.offset * 4)
+    return pa.StringArray.from_buffers(
+        len(lst), off_buf, buf, null_count=lst.null_count, offset=0
+    )
+
+
+def detokenize_map_in_arrow(df: DataFrame, tokens_col: str = "tokens", out: str = "line") -> DataFrame:
+    """Zero-copy Arrow detokenization via mapInArrow (all columns pass
+    through; a new ``out`` string column is appended)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.StringType())])
+    idx = df.columns.index(tokens_col)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            line = _detok_list_array(b.column(idx))
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [line], names=list(b.schema.names) + [out]
+            )
+
+    return df.mapInArrow(fn, schema)
+
+
+def _detokenize_batch(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda a: bytes(int(t) for t in a).decode("latin-1"))
+
+
+_PANDAS_UDF = None
+
+
+def detokenize_pandas(tokens_col):
+    """Arrow-batched pandas UDF detokenizer (BPE-vocabulary template)."""
+    global _PANDAS_UDF
+    if _PANDAS_UDF is None:
+        from pyspark.sql import types as T
+
+        _PANDAS_UDF = F.pandas_udf(_detokenize_batch, T.StringType())
+    return _PANDAS_UDF(tokens_col)
+
+
+# ---------------------------------------------------------------------------
+# fast Arrow tokenizer (generator side): string -> list<int32>
+# ---------------------------------------------------------------------------
+
+
+def tokenize_map_in_arrow(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Inverse of detokenize_map_in_arrow: appends (tokens, n_tok)."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("tokens", T.ArrayType(T.IntegerType(), False)),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+    idx = df.columns.index(line_col)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            s = b.column(idx)
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            s = s.cast(pa.string())
+            data = s.buffers()[2]
+            off = s.buffers()[1]
+            offsets = np.frombuffer(off, dtype=np.int32, count=len(s) + 1, offset=s.offset * 4)
+            vals = np.frombuffer(data, dtype=np.uint8, count=int(offsets[-1]))[
+                offsets[0] :
+            ].astype(np.int32)
+            rel_offsets = offsets - offsets[0]
+            toks = pa.ListArray.from_arrays(pa.array(rel_offsets), pa.array(vals))
+            toks = toks.cast(pa.list_(pa.int32()))
+            n_tok = pa.array((rel_offsets[1:] - rel_offsets[:-1]).astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [toks, n_tok],
+                names=list(b.schema.names) + ["tokens", "n_tok"],
+            )
+
+    return df.mapInArrow(fn, schema)
+
+
+def token_invariant_violations(df: DataFrame) -> DataFrame:
+    """Rows violating the n_tok == size(tokens) stage-boundary invariant."""
+    return df.filter(F.size("tokens") != F.col("n_tok"))
