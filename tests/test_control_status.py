@@ -1,0 +1,101 @@
+"""Control-plane semantics: resume anti-join, monotonic status, quota
+rollup with regimes, guarded date-status upsert, retention joins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from logspark import control, pipeline, retention, status
+
+
+def test_resume_anti_join(spark, small_corpus, tmp_path):
+    store = control.CheckpointStore(spark, str(tmp_path / "ctrl"))
+    withpid = control.with_partition_id(small_corpus, 8)
+    # nothing committed -> everything pending
+    assert control.pending_partitions(withpid, store).count() == small_corpus.count()
+    # commit partitions 0..3 -> only 4..7 pending
+    done = spark.createDataFrame(
+        [(i, control.LOADED, 0, 0, "r1") for i in range(4)],
+        control.CONTROL_SCHEMA,
+    )
+    store.append(done)
+    pending = control.pending_partitions(withpid, store)
+    assert pending.filter(F.col("part_id") < 4).count() == 0
+    expected = withpid.filter(F.col("part_id") >= 4).count()
+    assert pending.count() == expected
+
+
+def test_monotonic_status_merge(spark):
+    existing = spark.createDataFrame(
+        [(1, control.LOADED, 10, 10, "r1"), (2, control.QUEUE, 0, 0, "r1")],
+        control.CONTROL_SCHEMA,
+    )
+    updates = spark.createDataFrame(
+        [(1, control.FAILED, 5, 5, "r2"), (2, control.LOADED, 9, 9, "r2"),
+         (3, control.PARTIAL, 1, 1, "r2")],
+        control.CONTROL_SCHEMA,
+    )
+    merged = {r["part_id"]: r for r in control.merge_status(existing, updates).collect()}
+    assert merged[1]["status"] == control.LOADED  # never downgraded
+    assert merged[1]["run_id"] == "r1"
+    assert merged[2]["status"] == control.LOADED  # upgraded
+    assert merged[3]["status"] == control.PARTIAL  # inserted
+
+
+def test_partition_stats_and_conservation(spark, small_corpus):
+    withpid = control.with_partition_id(small_corpus, 8)
+    routed = pipeline.routed_hits(spark, withpid)
+    stats = control.partition_stats(routed, "r1")
+    agg = stats.agg(F.sum("rows_in"), F.sum("rows_routed")).collect()[0]
+    assert agg[0] == agg[1] == small_corpus.count()
+    assert stats.count() == 8
+
+
+def test_quota_rollup_regimes(spark, small_corpus):
+    routed = pipeline.routed_hits(spark, small_corpus)
+    ds = status.rollup_date_status(routed, spark)
+    rows = ds.collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["source"] == "apache-hiperion":
+            want = 120 if str(r["log_date"]) > "2024-03-15" else 150
+            assert r["expected"] == want
+        if r["loaded"] >= r["expected"]:
+            assert r["status"] == status.S_LOADED
+        elif r["loaded"] > 0:
+            assert r["status"] == status.S_PARTIAL
+
+
+def test_guarded_date_status_upsert(spark):
+    cols = "source STRING, log_date DATE, loaded BIGINT, expected INT, status INT"
+    import datetime as dt
+
+    d = dt.date(2024, 3, 1)
+    existing = spark.createDataFrame(
+        [("a", d, 5, 10, status.S_COMPLETED), ("b", d, 1, 10, status.S_PARTIAL)], cols
+    )
+    updates = spark.createDataFrame(
+        [("a", d, 9, 10, status.S_PARTIAL), ("b", d, 10, 10, status.S_LOADED),
+         ("c", d, 2, 10, status.S_PARTIAL)], cols
+    )
+    out = {r["source"]: r for r in status.guarded_upsert(existing, updates).collect()}
+    assert out["a"]["status"] == status.S_COMPLETED  # locked (not QUEUE/PARTIAL)
+    assert out["a"]["loaded"] == 5
+    assert out["b"]["status"] == status.S_LOADED  # advanced from PARTIAL
+    assert out["c"]["status"] == status.S_PARTIAL  # inserted
+
+
+def test_retention_split_is_partition(spark, small_corpus):
+    routed = pipeline.routed_hits(spark, small_corpus)
+    ds = status.rollup_date_status(routed, spark)
+    # promote LOADED dates to COMPLETED (the reference's export step does this)
+    completed = ds.withColumn(
+        "status",
+        F.when(F.col("status") == status.S_LOADED, status.S_COMPLETED).otherwise(
+            F.col("status")
+        ),
+    )
+    keep = retention.retained(routed, completed).count()
+    retire = retention.rows_to_retire(routed, completed).count()
+    assert keep + retire == routed.count()
+    assert retire > 0

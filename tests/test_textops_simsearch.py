@@ -1,0 +1,108 @@
+"""Semantic sanity for dedup / similarity / text ops on hand-built docs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from logspark import simsearch, textops
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+    (2, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # dup of 1
+    (3, "the quick brown fox jumps over a sleepy dog", "en", "s", 43),  # near-dup
+    (4, "el gato la casa de el perro el dia", "es", "s", 34),
+    (5, "completely different words entirely unrelated text here", "en", "s", 55),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(docs):
+    groups = textops.exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper"] == 1
+    assert groups[0]["group_size"] == 2
+
+
+def test_minhash_identical_docs_equal_sigs(docs):
+    sigs = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+            for r in textops.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[5]
+
+
+def test_lsh_finds_duplicates(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in textops.lsh_candidate_pairs(textops.minhash_signatures(docs)).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 5) not in pairs or (2, 5) not in pairs  # unrelated unlikely pair
+
+
+def test_simhash_near_dup_close(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in textops.simhash(docs).collect()}
+    assert fps[1] == fps[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fps[1], fps[3]) < hamming(fps[1], fps[5])
+
+
+def test_jaccard_exact_values(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in textops.jaccard_pairs(docs).collect()}
+    p12 = pairs[(1, 2)]
+    assert p12["jaccard"] == 1.0
+    # doc1 vs doc3: words {the,quick,brown,fox,jumps,over,lazy,dog} vs
+    # {the,quick,brown,fox,jumps,over,a,sleepy,dog}: inter=7, union=10
+    p13 = pairs[(1, 3)]
+    assert p13["inter"] == 7 and p13["uni"] == 10
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in textops.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[4] == "es"
+
+
+def test_quality_and_token_counts(docs):
+    q = {r["doc_id"]: r for r in textops.quality_scores(docs).collect()}
+    assert q[1]["n_words"] == 9
+    assert q[1]["n_chars_calc"] == 43
+    t = {r["doc_id"]: r for r in textops.token_counts(docs).collect()}
+    assert t[1]["ws_tokens"] == 9
+    assert t[1]["alpha_tokens"] == 9
+
+
+def test_fingerprint_order_insensitive(spark, docs):
+    fp = {r["doc_id"]: (r["fp_sum"], r["fp_n"]) for r in textops.fingerprints(docs).collect()}
+    shuffled = spark.createDataFrame(
+        [(10, "dog lazy the over jumps fox brown quick the")],
+        "doc_id long, text string",
+    )
+    fp2 = textops.fingerprints(shuffled).collect()[0]
+    assert (fp2["fp_sum"], fp2["fp_n"]) == fp[1]
+
+
+def test_cosine_topk_self_first(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    top = simsearch.cosine_topk(emb, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_bucket_contains_query(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = simsearch.ivf_topk(emb, query_vec_id=0, k=5).collect()
+    assert any(r["vec_id"] == 0 for r in out)
+    buckets = {r["bucket"] for r in out}
+    assert len(buckets) == 1  # probe scans exactly one bucket
