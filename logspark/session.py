@@ -40,12 +40,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches across the Python boundary: fewer per-batch
+        # round trips for mapInArrow/pandas UDFs (tokens are ~100B/row, so
+        # 64k rows ≈ 25MB/batch — comfortably in-memory per worker)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         # DuckDB-oracle parity: permissive casts (try-cast semantics are used
         # explicitly where needed); ANSI-off keeps element_at/cast null-safe.
         .config("spark.sql.ansi.enabled", "false")
+        # constraint propagation goes super-linear on deep derived-column
+        # expression trees (InferFiltersFromConstraints closure explosion:
+        # measured >390s optimizing one filter+select over the synthetic
+        # corpus lineage; 11s with this off). Our plans gain nothing from
+        # it: joins are broadcast with explicit keys, null filters explicit.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("LOGSPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("LOGSPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )

@@ -6,17 +6,21 @@ character's code point, ASCII/latin-1 range) so detokenization is exact and
 the per-row invariant — token-array equality through every stage — is
 trivially checkable (``size(tokens) == n_tok`` plus full array equality).
 
-Three detokenizers, fastest first (measured in bench.py):
+Three detokenizers (measured on the 4M-row corpus, 32-core sandbox):
 
+  * ``detokenize_expr`` — pure Spark SQL (transform + char + array_join).
+    **Default hot path**: stays inside whole-stage codegen, no Python
+    boundary, and scales 0.84-0.87 efficiency from 8->32 cores (3.5s
+    detok-only at 32 cores). Wins on absolute throughput at >=16 cores.
   * ``detokenize_arrow`` — ``mapInArrow`` zero-copy-ish reconstruction: the
     list<int32> values buffer, cast to uint8, IS the utf8 data buffer of the
-    output StringArray; offsets carry over. No per-row Python, no per-char
-    JVM objects. **Default hot path.**
+    output StringArray; offsets carry over. Cheapest CPU-wise at low core
+    counts, but the JVM row<->Arrow copy chain (ArrowWriter element writes,
+    Unsafe.copyMemory in jstack) is memory-bandwidth-bound and flatlines at
+    ~8 cores (6.3s at 8 AND 32 cores). Use when a Python-side vocabulary
+    table is genuinely needed.
   * ``detokenize_pandas`` — Arrow-batched pandas UDF (template for real BPE
     vocabularies that need a Python-side lookup table).
-  * ``detokenize_expr`` — pure Spark SQL (transform + char + array_join);
-    JVM-only but builds one single-char string per token (~10x slower, kept
-    for environments where Python workers are undesirable).
 
 ``tokens`` is never mutated: all codecs derive NEW columns.
 """
@@ -72,19 +76,34 @@ def _detok_list_array(arr: pa.Array) -> pa.Array:
     )
 
 
-def detokenize_map_in_arrow(df: DataFrame, tokens_col: str = "tokens", out: str = "line") -> DataFrame:
+def detokenize_map_in_arrow(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    out: str = "line",
+    keep_tokens: bool = True,
+) -> DataFrame:
     """Zero-copy Arrow detokenization via mapInArrow (all columns pass
-    through; a new ``out`` string column is appended)."""
+    through; a new ``out`` string column is appended).
+
+    keep_tokens=False drops the token-array column from the OUTPUT batches
+    (the input side still reads it, of course). The array is the widest
+    column by far (~4 bytes/char vs 1 for the line), so aggregate-only
+    consumers that don't need the per-row invariant downstream save the
+    whole Arrow->JVM transfer of it. ``tokens`` itself is never mutated.
+    """
     import pyspark.sql.types as T
 
-    schema = T.StructType(df.schema.fields + [T.StructField(out, T.StringType())])
+    keep = [f for f in df.schema.fields if keep_tokens or f.name != tokens_col]
+    schema = T.StructType(keep + [T.StructField(out, T.StringType())])
     idx = df.columns.index(tokens_col)
+    keep_idx = [i for i, c in enumerate(df.columns) if keep_tokens or c != tokens_col]
+    names = [df.columns[i] for i in keep_idx] + [out]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             line = _detok_list_array(b.column(idx))
             yield pa.RecordBatch.from_arrays(
-                list(b.columns) + [line], names=list(b.schema.names) + [out]
+                [b.column(i) for i in keep_idx] + [line], names=names
             )
 
     return df.mapInArrow(fn, schema)
