@@ -124,6 +124,106 @@ def ivf_topk(
     )
 
 
+def band_bucket_expr(col: str, band: int, bits_per_band: int):
+    """Sign pattern of dims [band*r, band*r + r) as an int bucket id."""
+    r = bits_per_band
+    terms = [
+        F.when(
+            F.expr(f"CAST(element_at({col}, {band * r + i + 1}) AS DOUBLE)") > 0,
+            2**i,
+        ).otherwise(0)
+        for i in range(r)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def duck_band_bucket_sql(col: str, band: int, bits_per_band: int) -> str:
+    r = bits_per_band
+    terms = [
+        f"(CASE WHEN CAST({col}[{band * r + i + 1}] AS DOUBLE) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i in range(r)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS INT)"
+
+
+def cosine_pair_expr(a: str, b: str):
+    """Exact pair cosine, identical association order to the DuckDB oracle."""
+    return F.expr(_dot_sql(a, b)) / (F.expr(_norm_sql(a)) * F.expr(_norm_sql(b)))
+
+
+def neardup_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact O(n^2) baseline.
+
+    Broadcast-nested-loop self-join on vec_id ordering; only viable as a
+    final re-rank / small-partition step at scale — the banded variant
+    (neardup_pairs) is the 10^9-vector path. Analog of the dedup family
+    the reference's pipeline implies for training corpora (per-round brief);
+    no counterpart in /root/reference (it has no vector ops at all).
+    """
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = cosine_pair_expr("ea", "eb")
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") > threshold
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Banded sign-LSH near-duplicate pairs — the shuffle-scalable path.
+
+    Each vector gets `bands` bucket ids (sign pattern of r consecutive
+    dims); a pair is a candidate iff ANY band bucket matches (OR-of-ANDs,
+    same shape as MinHash LSH banding in logspark/textops.py). Candidates
+    are found by an equi-join on (band, bucket) — a plain hash shuffle that
+    partitions evenly at any scale — then deduped to distinct id pairs and
+    exact-cosine filtered. No O(n^2) stage anywhere.
+    """
+    tall = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        band_bucket_expr("embedding", k, bits_per_band).alias(
+                            "bucket"
+                        ),
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    cand = (
+        tall.alias("a")
+        .join(tall.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = cosine_pair_expr("ea", "eb")
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") > threshold)
+    )
+
+
 def bucket_histogram(emb: DataFrame, bits: int = 8) -> DataFrame:
     """IVF bucket occupancy (skew diagnostics for the ANN index)."""
     return (

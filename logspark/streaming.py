@@ -79,6 +79,34 @@ def run_available_now_counts(
     return spark.table("route_counts_stream")
 
 
+def route_counts_via_stream(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """Batch-parity entry for the driver contract: materialize the given
+    corpus to a scratch parquet dir, drain it through the streaming engine
+    (AvailableNow), and return the final per-route counts — which must equal
+    the batch pipeline's counts (and the DuckDB oracle) exactly.
+    """
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="logspark_stream_parity_")
+    inp = f"{base}/in"
+    corpus.write.mode("overwrite").parquet(inp)
+    name = f"route_counts_parity_{uuid.uuid4().hex[:8]}"
+    stream = read_corpus_stream(spark, inp)
+    routed = routed_stream(spark, stream)
+    counts = routed.groupBy("route").agg(F.count("*").alias("cnt"))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def start_fanout_stream(
     spark: SparkSession, corpus_path: str, out_dir: str, checkpoint: str
 ):

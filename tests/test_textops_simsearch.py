@@ -106,3 +106,29 @@ def test_ivf_bucket_contains_query(spark):
     assert any(r["vec_id"] == 0 for r in out)
     buckets = {r["bucket"] for r in out}
     assert len(buckets) == 1  # probe scans exactly one bucket
+
+
+def test_neardup_banded_subset_of_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in simsearch.neardup_exact(emb, threshold=0.3).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in simsearch.neardup_pairs(emb, threshold=0.3).collect()
+    }
+    assert set(banded) <= set(exact)  # LSH candidates never invent pairs
+    for k, v in banded.items():
+        assert abs(v - exact[k]) < 1e-12  # identical cosine arithmetic
+    for (a, b), _ in banded.items():
+        assert a < b
+
+
+def test_neardup_exact_finds_identical_vectors(spark):
+    rows = [(0, [1.0, 2.0] + [0.0] * 62, 0), (1, [1.0, 2.0] + [0.0] * 62, 0),
+            (2, [-1.0] * 64, 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = simsearch.neardup_exact(emb, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+    assert abs(out[0]["cosine"] - 1.0) < 1e-12
