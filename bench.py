@@ -60,6 +60,7 @@ HEADLINE = [
     "quality_scores",
     "cosine_topk",
     "ivf_ann_topk",
+    "embedding_neardup",
 ]
 
 
@@ -119,56 +120,60 @@ def main() -> None:
         "cpus": CPUS,
     }
     total = 0.0
-
-    # ---- low-parallelism scaling run first (own session) ----
-    scaling: dict = {}
     lo = max(1, CPUS // 4)
-    if DO_SCALING:
-        spark = _new_spark(lo)
-        _ensure_corpus(spark, CORPUS_ROWS, corpus_path)
-        _warmup(spark)
-        rows, t_lo = _pipeline_run(spark, corpus_path)
-        scaling.update(
-            {"cores_lo": lo, "rows": rows, "sec_lo": round(t_lo, 3),
-             "rows_per_sec_lo": round(rows / t_lo) if t_lo else None}
-        )
-        spark.stop()
-        total += t_lo
+    rows = 0
+    times: dict[int, list[float]] = {lo: [], CPUS: []}
 
-    # ---- high-parallelism session: throughput + headline queries ----
-    spark = _new_spark(CPUS)
-    _ensure_corpus(spark, CORPUS_ROWS, corpus_path)
-    _warmup(spark)
-    rows, t_hi = _pipeline_run(spark, corpus_path)
-    total += t_hi
+    # ---- scaling cycles: alternate core counts so host-level noise (this
+    # sandbox VM shows CPU-steal windows of minutes) hits both levels alike;
+    # efficiency is computed from per-level minima (engine capability) ----
+    levels = [lo, CPUS] if DO_SCALING else [CPUS]
+    cycles = max(1, (REPS + 1) // 2)
+    for cycle in range(cycles):
+        for cores in levels:
+            spark = _new_spark(cores)
+            _ensure_corpus(spark, CORPUS_ROWS, corpus_path)
+            _warmup(spark)
+            rows, t = _pipeline_run(spark, corpus_path, reps=2)
+            times[cores].append(t)
+            total += t
+            spark.stop()
+
+    t_hi = min(times[CPUS])
     result["pipeline"] = {
         "rows": rows,
         "sec": round(t_hi, 3),
         "rows_per_sec": round(rows / t_hi) if t_hi else None,
     }
-    if DO_SCALING and scaling.get("sec_lo"):
-        rps_lo = rows / scaling["sec_lo"]
-        rps_hi = rows / t_hi
-        scaling.update(
-            {
-                "cores_hi": CPUS,
-                "sec_hi": round(t_hi, 3),
-                "rows_per_sec_hi": round(rps_hi),
-                "efficiency": round(rps_hi / (rps_lo * (CPUS / lo)), 3),
-            }
-        )
-        result["scaling"] = scaling
+    if DO_SCALING:
+        t_lo = min(times[lo])
+        rps_lo, rps_hi = rows / t_lo, rows / t_hi
+        result["scaling"] = {
+            "cores_lo": lo,
+            "cores_hi": CPUS,
+            "rows": rows,
+            "sec_lo": round(t_lo, 3),
+            "sec_hi": round(t_hi, 3),
+            "rows_per_sec_lo": round(rps_lo),
+            "rows_per_sec_hi": round(rps_hi),
+            "all_secs_lo": [round(t, 3) for t in times[lo]],
+            "all_secs_hi": [round(t, 3) for t in times[CPUS]],
+            "efficiency": round(rps_hi / (rps_lo * (CPUS / lo)), 3),
+        }
+
+    # ---- headline queries in a fresh high-parallelism session ----
+    spark = _new_spark(CPUS)
 
     qs = entrymod.queries()
-    times: dict[str, float] = {}
+    qtimes: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
-    result["queries"] = times
-    total += sum(times.values())
+        qtimes[name] = round(time.time() - t0, 3)
+    result["queries"] = qtimes
+    total += sum(qtimes.values())
     result["value"] = round(total, 3)
 
     spark.stop()

@@ -61,10 +61,20 @@ def exact_dedup_groups(docs: DataFrame, prefix_len: int = 60) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, num_perms: int = 4) -> DataFrame:
-    """doc_id -> MinHash signature over the word set (portable hashing)."""
-    w = words_df(docs)
+    """doc_id -> MinHash signature over the word set (portable hashing).
+
+    The shared 32-bit word hash is hoisted into its own column so the md5
+    digest is computed ONCE per word, not once per permutation (the perms
+    are affine maps over the same hash; inlining ph.minhash_term_sql would
+    re-derive the digest 8 hex-digit extractions x num_perms times)."""
+    w = words_df(docs).withColumn("h32", F.expr(ph.hex32_sql("word")))
     aggs = [
-        F.min(F.expr(ph.minhash_term_sql("word", k))).alias(f"mh{k}")
+        F.min(
+            F.expr(
+                f"({ph.MINHASH_PERMS[k][0]} * h32 + {ph.MINHASH_PERMS[k][1]})"
+                f" % {ph.MERSENNE31}"
+            )
+        ).alias(f"mh{k}")
         for k in range(num_perms)
     ]
     return w.groupBy("doc_id").agg(*aggs)
@@ -72,29 +82,37 @@ def minhash_signatures(docs: DataFrame, num_perms: int = 4) -> DataFrame:
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 2) -> DataFrame:
     """Band the signature (2 hashes per band with 4 perms), self-join on
-    equal band values -> candidate pairs (a < b)."""
-    sig = signatures
-    banded = None
-    for b in range(bands):
-        cols = [f"mh{2 * b}", f"mh{2 * b + 1}"]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
-                "band_key"
-            ),
-        )
-        banded = part if banded is None else banded.unionByName(part)
-    left = banded.select(
-        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b")
-    )
+    equal band values -> candidate pairs (a < b).
+
+    One pass: bands come from a single explode (not a per-band union that
+    recomputes the signature aggregation per branch), and the self-join
+    aliases the SAME banded plan so Spark's ReuseExchange materializes the
+    band shuffle once and reads it from both sides."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"mh{2 * b}").cast("string"),
+                            F.col(f"mh{2 * b + 1}").cast("string"),
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .distinct()
     )
 
