@@ -102,6 +102,20 @@ def _pipeline_run(spark, path: str, reps: int = REPS) -> tuple[int, float]:
     return rows, best
 
 
+def _cpu_probe() -> float:
+    """Single-threaded fixed-work probe (~0.1s on a healthy core). The
+    sandbox host throttles the whole VM for minutes at a time (identical
+    Spark jobs measured 7s and 62s with task CPU-seconds inflated 8x, not
+    starved — cpu/run stayed 0.8). The probe timestamps each cycle's host
+    health so efficiency can be computed from clean cycles; raw times are
+    always reported alongside."""
+    t0 = time.time()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return time.time() - t0
+
+
 def _warmup(spark) -> None:
     """Spin up Python workers / JIT the codepaths on a small slice."""
     from logspark import pipeline, synth
@@ -129,24 +143,39 @@ def main() -> None:
     # efficiency is computed from per-level minima (engine capability) ----
     levels = [lo, CPUS] if DO_SCALING else [CPUS]
     cycles = max(1, (REPS + 1) // 2)
+    probes: dict[int, list[float]] = {lo: [], CPUS: []}
     for cycle in range(cycles):
         for cores in levels:
             spark = _new_spark(cores)
             _ensure_corpus(spark, CORPUS_ROWS, corpus_path)
             _warmup(spark)
+            probes[cores].append(round(_cpu_probe(), 4))
             rows, t = _pipeline_run(spark, corpus_path, reps=2)
             times[cores].append(t)
             total += t
             spark.stop()
 
-    t_hi = min(times[CPUS])
+    def _clean_min(cores: int) -> float:
+        """Min over cycles whose probe was within 1.5x of the best probe
+        seen (i.e. host not in a throttling window); falls back to the
+        global min if every cycle was degraded."""
+        all_probes = [p for ps in probes.values() for p in ps]
+        ref = min(all_probes) if all_probes else 0.0
+        ok = [
+            t
+            for t, p in zip(times[cores], probes[cores])
+            if ref == 0 or p <= 1.5 * ref
+        ]
+        return min(ok) if ok else min(times[cores])
+
+    t_hi = _clean_min(CPUS)
     result["pipeline"] = {
         "rows": rows,
         "sec": round(t_hi, 3),
         "rows_per_sec": round(rows / t_hi) if t_hi else None,
     }
     if DO_SCALING:
-        t_lo = min(times[lo])
+        t_lo = _clean_min(lo)
         rps_lo, rps_hi = rows / t_lo, rows / t_hi
         result["scaling"] = {
             "cores_lo": lo,
@@ -158,6 +187,8 @@ def main() -> None:
             "rows_per_sec_hi": round(rps_hi),
             "all_secs_lo": [round(t, 3) for t in times[lo]],
             "all_secs_hi": [round(t, 3) for t in times[CPUS]],
+            "host_probes_lo": probes[lo],
+            "host_probes_hi": probes[CPUS],
             "efficiency": round(rps_hi / (rps_lo * (CPUS / lo)), 3),
         }
 
