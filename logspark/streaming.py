@@ -107,6 +107,62 @@ def route_counts_via_stream(spark: SparkSession, corpus: DataFrame) -> DataFrame
     return spark.table(name)
 
 
+def stateful_source_totals(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-source cumulative routed-sequence
+    totals via ``applyInPandasWithState`` — the streaming analog of the
+    reference's per-date progress accounting (control_log_file_summary
+    accumulation, /root/reference/libs/lib_database.py:154-184), where
+    state survives across micro-batches instead of across cron runs.
+
+    Every micro-batch updates one long per source; outputMode=update emits
+    the running total. The FINAL total per source is independent of how the
+    input was micro-batched, so the returned frame (max over updates) is
+    deterministic and must equal the batch ``groupBy(source).count()``.
+    """
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = tempfile.mkdtemp(prefix="logspark_stateful_")
+    inp = f"{base}/in"
+    corpus.write.mode("overwrite").parquet(inp)
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+
+    stream = read_corpus_stream(spark, inp)
+    routed = routed_stream(spark, stream).select("source")
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"source": [key[0]], "total": [total]})
+
+    updates = routed.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(F.max("total").alias("total"))
+    )
+
+
 def start_fanout_stream(
     spark: SparkSession, corpus_path: str, out_dir: str, checkpoint: str
 ):

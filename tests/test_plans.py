@@ -1,0 +1,112 @@
+"""Physical-plan regression tests: the shapes we designed for 100TB scale
+must not silently degrade (extra shuffles, lost pushdown, lost broadcast,
+lost column pruning). Captured via explain('formatted') text.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def shuffle_count(txt: str) -> int:
+    """Plain (non-broadcast) Exchange nodes in a formatted plan tree."""
+    return len(re.findall(r"\bExchange \(\d+\)", txt))
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, small_corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "corpus")
+    small_corpus.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_routed_pass_has_no_shuffle(spark, corpus_parquet):
+    """scan -> detok -> parse -> enrich -> route is ONE narrow stage: the
+    only exchange allowed is the broadcast for the extension lookup."""
+    from logspark import pipeline
+
+    routed = pipeline.routed_hits(spark, spark.read.parquet(corpus_parquet))
+    txt = plan_text(routed)
+    assert shuffle_count(txt) == 0, txt
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt
+
+
+def test_run_counts_single_shuffle_with_partial_agg(spark, corpus_parquet):
+    """The flagship aggregate shuffles exactly once, after a map-side
+    partial aggregate (HashAggregate below the exchange)."""
+    from logspark import pipeline
+
+    counts = pipeline.run_counts(spark, spark.read.parquet(corpus_parquet))
+    txt = plan_text(counts)
+    # one agg shuffle + one for the final orderBy's range partitioning
+    assert shuffle_count(txt) == 2, txt
+    # partial agg below the exchange, final above (map-side combine)
+    assert len(re.findall(r"\bHashAggregate \(\d+\)", txt)) == 2
+    # scan reads only what the aggregate needs (column pruning through
+    # the whole detok/parse/route chain)
+    scan = txt[txt.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" not in scan and "tokens" in scan and "source" in scan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, corpus_parquet):
+    df = (
+        spark.read.parquet(corpus_parquet)
+        .filter(F.col("source") == "apache-hiperion")
+        .select("doc_id", "n_tok")
+    )
+    txt = plan_text(df)
+    assert "PushedFilters: [" in txt
+    assert "EqualTo(source," in txt
+
+
+def test_column_pruning_never_reads_payload(spark, tmp_path_factory):
+    """Metadata-only media aggregate must not read the binary payload."""
+    from logspark import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abc", 3), (2, "defg", 4)], "doc_id long, text string, n_chars long"
+    )
+    path = str(tmp_path_factory.mktemp("plans") / "media")
+    multimodal.synth_media(docs).write.mode("overwrite").parquet(path)
+    stats = multimodal.media_stats(spark.read.parquet(path))
+    txt = plan_text(stats)
+    scan = txt[txt.index("ReadSchema") :].splitlines()[0]
+    assert "payload" not in scan, scan
+
+
+def test_enrich_lookup_is_broadcast(spark, corpus_parquet):
+    from logspark import parse, pipeline
+
+    df = pipeline.detokenized(spark.read.parquet(corpus_parquet))
+    df = parse.parse_lines(df, "line")
+    df = parse.enriched_ext_kind(df, spark)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_lsh_self_join_reuses_exchange(spark):
+    """The banded self-join must materialize the band shuffle once
+    (ReuseExchange), not recompute the signature aggregation per side."""
+    from logspark import textops
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tail text", "en", "s", 20) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = textops.lsh_candidate_pairs(textops.minhash_signatures(docs))
+    pairs.collect()  # AQE finalizes reuse at runtime
+    txt = plan_text(pairs)
+    assert "ReusedExchange" in txt, txt
