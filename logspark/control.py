@@ -45,6 +45,21 @@ CONTROL_SCHEMA = (
 )
 
 
+RETRY_DIFF_LINES = int(os.environ.get("RETRY_DIFF_LINES", "110000"))
+
+
+def retry_adjusted_progress(lines_parsed, retry: int = RETRY_DIFF_LINES):
+    """A7 parity (/root/reference/libs/lib_summary.py:8,70-91): on a failed
+    load the reference rewinds the line cursor by RETRY_DIFF_LINES and
+    classifies PARTIAL iff progress survives the rewind, else FAILED with
+    zero progress. Our resume is exact (committed partitions replay
+    nothing), so this heuristic reduces to a guarded column expression kept
+    for contract parity: (adjusted_lines, status)."""
+    adj = F.greatest(F.lit(0), lines_parsed - F.lit(retry))
+    status = F.when(adj > 0, F.lit(PARTIAL)).otherwise(F.lit(FAILED))
+    return adj.alias("adjusted_lines"), status.alias("retry_status")
+
+
 def with_partition_id(corpus: DataFrame, num_partitions: int = 64) -> DataFrame:
     """Explicit hash partitioning on doc_id (north_rule). Deterministic,
     content-only (xxhash64) — never depends on physical layout."""

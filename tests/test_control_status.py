@@ -99,3 +99,22 @@ def test_retention_split_is_partition(spark, small_corpus):
     retire = retention.rows_to_retire(routed, completed).count()
     assert keep + retire == routed.count()
     assert retire > 0
+
+
+def test_retry_adjusted_progress(spark):
+    from logspark import control
+
+    df = spark.createDataFrame(
+        [(200_000,), (110_000,), (50_000,), (0,)], "lines_parsed long"
+    )
+    adj, status = control.retry_adjusted_progress(df.lines_parsed)
+    rows = {
+        r["lines_parsed"]: (r["adjusted_lines"], r["retry_status"])
+        for r in df.select("lines_parsed", adj, status).collect()
+    }
+    # reference semantics (lib_summary.py:82-87): PARTIAL iff progress
+    # survives the 110k rewind, else FAILED with zero progress
+    assert rows[200_000] == (90_000, control.PARTIAL)
+    assert rows[110_000] == (0, control.FAILED)
+    assert rows[50_000] == (0, control.FAILED)
+    assert rows[0] == (0, control.FAILED)
