@@ -192,8 +192,31 @@ def main() -> None:
             "efficiency": round(rps_hi / (rps_lo * (CPUS / lo)), 3),
         }
 
-    # ---- headline queries in a fresh high-parallelism session ----
+    # ---- headline queries + fan-out write in a fresh session ----
     spark = _new_spark(CPUS)
+
+    # true end-to-end including the salted per-sink fan-out write (token
+    # arrays preserved into the sinks per the per-row invariant)
+    import shutil
+    import tempfile
+
+    from logspark import pipeline as _pipe
+    from logspark import sinks as _sinks
+
+    fan_dir = tempfile.mkdtemp(prefix="logspark_bench_fanout_")
+    try:
+        routed = _pipe.routed_hits(spark, spark.read.parquet(corpus_path))
+        t0 = time.time()
+        _sinks.write_fanout(routed, fan_dir, write_buckets=CPUS)
+        t_fan = time.time() - t0
+        result["fanout_write"] = {
+            "rows": rows,
+            "sec": round(t_fan, 3),
+            "rows_per_sec": round(rows / t_fan) if t_fan else None,
+        }
+        total += t_fan
+    finally:
+        shutil.rmtree(fan_dir, ignore_errors=True)
 
     qs = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -113,3 +113,33 @@ def test_streaming_windowed_counts(spark, tmp_path):
     # at least the early windows must have been finalized
     assert total is not None and total > 0
     assert out.filter(F.col("win_start").isNull()).count() == 0
+
+
+def test_fanout_salting_spreads_hot_sink(spark, small_corpus, tmp_path):
+    """north_rule skew handling: the hot sink's rows carry >=2 distinct salt
+    buckets so its write is shared by multiple tasks, and the physical
+    layout lands multiple files for the dominant sink."""
+    from logspark import pipeline, sinks
+
+    routed = pipeline.routed_hits(spark, small_corpus)
+    out = str(tmp_path / "fan")
+    # at this toy size AQE rightly coalesces everything into one partition;
+    # disable coalescing so the salted physical layout is observable
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(key, "false")
+    try:
+        sinks.write_fanout(routed, out, write_buckets=4)
+    finally:
+        spark.conf.set(key, "true")
+    import glob
+
+    hot = max(
+        glob.glob(out + "/sink=*"),
+        key=lambda d: len(glob.glob(d + "/*.parquet")),
+    )
+    assert len(glob.glob(hot + "/*.parquet")) >= 2
+    back = spark.read.parquet(out)
+    buckets = (
+        back.groupBy("sink").agg(F.countDistinct("bucket").alias("nb")).collect()
+    )
+    assert max(r["nb"] for r in buckets) >= 2
