@@ -58,9 +58,28 @@ def detokenize_expr(tokens_col: str = "tokens") -> Column:
 
 
 def _detok_list_array(arr: pa.Array) -> pa.Array:
-    """list<int32> -> string, reusing buffers (values become utf8 data)."""
+    """list<int32> -> string. Token id == Unicode code point (same contract
+    as the JVM ``char()`` codec — verified by the hypothesis roundtrip
+    property). ASCII fast path reuses buffers zero-copy (values buffer IS
+    the utf8 data); any token >= 128 would be multi-byte in UTF-8, so those
+    (rare; the log vocabulary is ASCII) take a per-row chr() path."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    flat32 = arr.flatten()
+    mx = pc.max(flat32).as_py() if len(flat32) else 0
+    if mx is not None and mx >= 128:
+        offs = np.asarray(arr.offsets)
+        vals = np.asarray(flat32)
+        strs = [
+            None
+            if not arr.is_valid(i).as_py()
+            else "".join(map(chr, vals[offs[i] : offs[i + 1]]))
+            for i in range(len(arr))
+        ]
+        return pa.array(strs, type=pa.string())
     lst = arr.cast(pa.list_(pa.uint8()))
     # flatten() honors the list's own offset/validity window
     data = lst.flatten()
@@ -157,10 +176,23 @@ def tokenize_map_in_arrow(df: DataFrame, line_col: str = "line") -> DataFrame:
             vals = np.frombuffer(data, dtype=np.uint8, count=int(offsets[-1]))[
                 offsets[0] :
             ].astype(np.int32)
-            rel_offsets = offsets - offsets[0]
-            toks = pa.ListArray.from_arrays(pa.array(rel_offsets), pa.array(vals))
-            toks = toks.cast(pa.list_(pa.int32()))
-            n_tok = pa.array((rel_offsets[1:] - rel_offsets[:-1]).astype(np.int32))
+            if len(vals) and vals.max() >= 128:
+                # non-ASCII text: utf8 bytes != code points; per-row ord()
+                # path keeps the token-id == code-point contract (matches
+                # the JVM ascii() tokenizer)
+                py = s.to_pylist()
+                toks = pa.array(
+                    [None if t is None else [ord(c) for c in t] for t in py],
+                    type=pa.list_(pa.int32()),
+                )
+                n_tok = pa.array(
+                    [None if t is None else len(t) for t in py], type=pa.int32()
+                )
+            else:
+                rel_offsets = offsets - offsets[0]
+                toks = pa.ListArray.from_arrays(pa.array(rel_offsets), pa.array(vals))
+                toks = toks.cast(pa.list_(pa.int32()))
+                n_tok = pa.array((rel_offsets[1:] - rel_offsets[:-1]).astype(np.int32))
             yield pa.RecordBatch.from_arrays(
                 list(b.columns) + [toks, n_tok],
                 names=list(b.schema.names) + ["tokens", "n_tok"],
