@@ -128,7 +128,7 @@ def test_fanout_salting_spreads_hot_sink(spark, small_corpus, tmp_path):
     key = "spark.sql.adaptive.coalescePartitions.enabled"
     spark.conf.set(key, "false")
     try:
-        sinks.write_fanout(routed, out, write_buckets=4)
+        sinks.write_fanout(routed, out, write_buckets=4, distribution="salted")
     finally:
         spark.conf.set(key, "true")
     import glob
