@@ -110,3 +110,43 @@ def test_lsh_self_join_reuses_exchange(spark):
     pairs.collect()  # AQE finalizes reuse at runtime
     txt = plan_text(pairs)
     assert "ReusedExchange" in txt, txt
+
+
+def test_aqe_splits_skewed_join(spark):
+    """north_rule skew handling: joining the 60%-hot `source` key without
+    broadcast must trigger AQE's skew-join split (the hot key's partition
+    shared across tasks) instead of one straggler task. Thresholds shrunk
+    to make 20k rows look big; coalescing disabled so the split is
+    observable at toy scale."""
+    from logspark import synth
+    from pyspark.sql import functions as F2
+
+    corpus = synth.corpus(spark, 20000)
+    dim = spark.createDataFrame(
+        [(s,) for s in ["apache-hiperion", "varnish02", "nginx-json01",
+                        "cloudfront-dist1", "iis01", "w3c-node03"]],
+        "source string",
+    ).withColumn("weight", F2.length("source"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = corpus.join(dim, "source").select("doc_id", "weight")
+        rows = joined.collect()  # finalize THIS plan under AQE
+        assert len(rows) == 20000
+        txt = plan_text(joined)
+        assert "skew=true" in txt, txt
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
