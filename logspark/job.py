@@ -72,16 +72,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"CONSERVATION VIOLATION: {observed}", file=sys.stderr)
         return 2
 
-    # re-read what we just wrote for control/lineage (cheap metadata-ish
-    # aggregates; in Iceberg mode this is the committed snapshot)
-    written = spark.read.parquet(args.output)
-    stats = control.partition_stats(
-        written.withColumn(
-            "part_id",
-            F.pmod(F.xxhash64("doc_id"), F.lit(args.partitions)).cast("int"),
-        ),
-        args.run_id,
+    # control/lineage stats: re-read ONLY this run's partitions (column-
+    # pruned scan of doc_id — never the full width), so a resume never
+    # rescans or re-appends stats for history. In Iceberg mode this comes
+    # free from the committed snapshot's manifest metadata instead.
+    written = spark.read.parquet(args.output).withColumn(
+        "part_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(args.partitions)).cast("int"),
     )
+    this_run = written.join(
+        F.broadcast(todo.select("part_id").distinct()), "part_id", "left_semi"
+    )
+    stats = control.partition_stats(this_run, args.run_id)
     store.append(stats)
 
     if args.metrics_dir:
