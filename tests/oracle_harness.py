@@ -87,7 +87,16 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from logspark.session import get_spark
 
-    spark = get_spark(cores=8, app="oracle-harness")
+    # HARNESS_ANSI=1 replicates the driver's Spark-4 ANSI-on session so that
+    # queries passing here cannot fail the driver on cast semantics.
+    import os
+
+    extra = (
+        {"spark.sql.ansi.enabled": "true"}
+        if os.environ.get("HARNESS_ANSI") == "1"
+        else None
+    )
+    spark = get_spark(cores=8, app="oracle-harness", extra=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
