@@ -23,23 +23,31 @@ DIMS = 64
 
 
 def _dot_sql(a: str, b: list[float] | str, dims: int = DIMS) -> str:
-    """Unrolled left-assoc dot product (portable IEEE ordering)."""
-    terms = []
-    for i in range(1, dims + 1):
-        if isinstance(b, str):
-            rhs = f"CAST(element_at({b}, {i}) AS DOUBLE)"
-        else:
-            rhs = repr(float(b[i - 1]))
-        terms.append(f"CAST(element_at({a}, {i}) AS DOUBLE) * {rhs}")
-    return "(" + " + ".join(terms) + ")"
+    """Dot product as a higher-order fold (Spark side).
+
+    aggregate() folds left starting at 0.0, so the IEEE association order is
+    ((0.0 + t1) + t2) + ... == t1 + t2 + ... — bit-identical to the DuckDB
+    oracle's unrolled left-assoc sum (duck_dot_sql). Round 1 unrolled this
+    into 64 explicit terms, which blew Janino's 64 KB method limit and
+    silently dropped the whole stage to interpreted mode; the fold keeps the
+    expression tree tiny (the HOF loop evaluates off-codegen, the REST of
+    the stage stays whole-stage-codegen'd)."""
+    rhs = b if isinstance(b, str) else (
+        "array(" + ", ".join(repr(float(x)) for x in b) + ")"
+    )
+    return (
+        f"aggregate(zip_with({a}, {rhs}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
 
 
 def _norm_sql(a: str, dims: int = DIMS) -> str:
-    terms = [
-        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({a}, {i}) AS DOUBLE)"
-        for i in range(1, dims + 1)
-    ]
-    return "sqrt(" + " + ".join(terms) + ")"
+    """L2 norm via the same left fold (see _dot_sql for bit-equality)."""
+    return (
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
 
 
 def duck_dot_sql(a: str, b: str, dims: int = DIMS) -> str:
