@@ -10,9 +10,25 @@ Stages (mirrors the reference control loop, SURVEY.md §3 E1/E2/E3):
   3. RESUME: anti-join vs committed control partitions (J4)
   4. detokenize -> detect -> parse -> enrich -> route (one narrow pass,
      observe() counters riding along)
-  5. fan-out per-sink write (salted distribution)
+  5. fan-out write, physically partitioned by (sink, part_id), direct
+     distribution (no pre-write shuffle; pass --distribution salted when
+     the runtime itself must bound file counts — see sinks.write_fanout)
   6. commit per-partition control rows + lineage metrics + date-status
      rollup (guarded upsert)
+
+Crash-replay commit protocol (parquet fallback for Iceberg's snapshot
+commit; reference analog: per-file status rows, /root/reference/libs/
+lib_database.py:101-117):
+
+  * data is written with dynamic partition OVERWRITE keyed on
+    (sink, part_id) — never append. A kill between the data write and the
+    control append leaves partitions pending; the resume replays them and
+    the overwrite REPLACES their files, so no duplicate rows can survive.
+  * control rows are appended strictly AFTER the data write. Invariant:
+    a committed control row implies its partition's data is durable; a
+    missing control row implies the partition will be rewritten
+    idempotently. (Iceberg gets the same via atomic overwritePartitions +
+    a control MERGE in one transaction.)
 
 Iceberg: pass --iceberg to read/write through a configured catalog (configs
 shipped here; the sandbox has no catalog so parquet is the tested fallback —
@@ -39,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--metrics-dir", default=None)
     p.add_argument("--partitions", type=int, default=256)
     p.add_argument("--run-id", default="run-0")
+    p.add_argument(
+        "--distribution",
+        choices=["direct", "salted"],
+        default="direct",
+        help="fan-out write distribution (see sinks.write_fanout)",
+    )
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--iceberg", action="store_true")
     args = p.parse_args(argv)
@@ -60,9 +82,19 @@ def main(argv: list[str] | None = None) -> int:
     store = control.CheckpointStore(spark, args.checkpoint)
     todo = control.pending_partitions(corpus, store)
 
+    # the pending part-id set is bounded by --partitions (metadata-sized):
+    # collected once, reused for the write and for partition-pruned stats
+    pending_ids = [r[0] for r in todo.select("part_id").distinct().collect()]
+
     obs = metrics.route_observation()
     routed = pipeline.routed_hits(spark, todo, observation=obs)
-    sinks.write_fanout(routed, args.output, mode="append")
+    sinks.write_fanout(
+        routed,
+        args.output,
+        mode="overwrite",
+        distribution=args.distribution,
+        partition_cols=["sink", "part_id"],
+    )
 
     try:
         observed = obs.get
@@ -72,19 +104,21 @@ def main(argv: list[str] | None = None) -> int:
         print(f"CONSERVATION VIOLATION: {observed}", file=sys.stderr)
         return 2
 
-    # control/lineage stats: re-read ONLY this run's partitions (column-
-    # pruned scan of doc_id — never the full width), so a resume never
-    # rescans or re-appends stats for history. In Iceberg mode this comes
+    # control/lineage stats re-read ONLY this run's output: part_id is a
+    # physical partition directory, so the isin() literal filter prunes at
+    # file-listing time — cost is proportional to THIS run's rows (and only
+    # the route column is read), never to accumulated history. Reading back
+    # what was actually written (vs aggregating `routed` pre-write) makes
+    # the control row attest to durable rows. In Iceberg mode this comes
     # free from the committed snapshot's manifest metadata instead.
-    written = spark.read.parquet(args.output).withColumn(
-        "part_id",
-        F.pmod(F.xxhash64("doc_id"), F.lit(args.partitions)).cast("int"),
-    )
-    this_run = written.join(
-        F.broadcast(todo.select("part_id").distinct()), "part_id", "left_semi"
-    )
-    stats = control.partition_stats(this_run, args.run_id)
-    store.append(stats)
+    if pending_ids:
+        this_run = (
+            spark.read.parquet(args.output)
+            .filter(F.col("part_id").isin(pending_ids))
+            .select("part_id", "route")
+        )
+        stats = control.partition_stats(this_run, args.run_id)
+        store.append(stats)
 
     if args.metrics_dir:
         metrics.lineage_counts(routed, args.run_id, "route").write.mode(

@@ -14,7 +14,10 @@ Scale design:
     north_rule; AQE coalesces the small sinks' buckets).
   * Idempotent re-runs: dynamic partition overwrite — re-processing a
     partition replaces exactly its own files (parquet fallback for Iceberg's
-    atomic overwritePartitions).
+    atomic overwritePartitions). The production job layers ``part_id`` into
+    the physical partitioning so a crash-replay of a pending partition
+    REPLACES any partially-written files for it instead of appending
+    duplicates (see job.py's commit protocol).
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ def write_fanout(
     mode: str = "overwrite",
     distribution: str = "direct",
     max_records_per_file: int = 1_000_000,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Fan-out write with an explicit distribution strategy.
 
@@ -64,15 +68,23 @@ def write_fanout(
     hot sink across write_buckets tasks (explicit skew handling, north_rule).
     Right when the runtime must bound file counts itself (no compaction
     service) or tasks >> buckets.
+
+    partition_cols (default ['sink']): physical layout. The production job
+    passes ['sink', 'part_id'] so that mode='overwrite' + dynamic partition
+    overwrite replaces exactly the (sink, part_id) directories this run
+    touches — the crash-replay idempotence unit (job.py commit protocol).
     """
-    cols = [c for c in SINK_COLUMNS if c in routed.columns] + ["sink"]
-    df = routed.select(*cols).withColumn(
+    pcols = partition_cols or ["sink"]
+    cols = [c for c in SINK_COLUMNS if c in routed.columns] + [
+        c for c in pcols if c not in SINK_COLUMNS
+    ]
+    df = routed.select(*dict.fromkeys(cols + pcols)).withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(write_buckets)).cast("int")
     )
     if distribution == "salted":
         df = df.repartition("sink", "bucket")
     (
-        df.write.partitionBy("sink")
+        df.write.partitionBy(*pcols)
         .mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", max_records_per_file)

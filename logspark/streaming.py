@@ -89,22 +89,30 @@ def route_counts_via_stream(spark: SparkSession, corpus: DataFrame) -> DataFrame
     import uuid
 
     base = tempfile.mkdtemp(prefix="logspark_stream_parity_")
-    inp = f"{base}/in"
-    corpus.write.mode("overwrite").parquet(inp)
-    name = f"route_counts_parity_{uuid.uuid4().hex[:8]}"
-    stream = read_corpus_stream(spark, inp)
-    routed = routed_stream(spark, stream)
-    counts = routed.groupBy("route").agg(F.count("*").alias("cnt"))
-    q = (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    try:
+        inp = f"{base}/in"
+        corpus.write.mode("overwrite").parquet(inp)
+        name = f"route_counts_parity_{uuid.uuid4().hex[:8]}"
+        stream = read_corpus_stream(spark, inp)
+        routed = routed_stream(spark, stream)
+        counts = routed.groupBy("route").agg(F.count("*").alias("cnt"))
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        # memory-sink rows live in driver memory; the scratch corpus copy +
+        # checkpoint are dead weight once the drain finishes (repeated
+        # driver runs were accumulating them)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def stateful_source_totals(spark: SparkSession, corpus: DataFrame) -> DataFrame:
@@ -120,12 +128,24 @@ def stateful_source_totals(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     deterministic and must equal the batch ``groupBy(source).count()``.
     """
     import tempfile
+
+    base = tempfile.mkdtemp(prefix="logspark_stateful_")
+    try:
+        return _stateful_source_totals(spark, corpus, base)
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _stateful_source_totals(
+    spark: SparkSession, corpus: DataFrame, base: str
+) -> DataFrame:
     import uuid
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    base = tempfile.mkdtemp(prefix="logspark_stateful_")
     inp = f"{base}/in"
     corpus.write.mode("overwrite").parquet(inp)
     name = f"stateful_totals_{uuid.uuid4().hex[:8]}"

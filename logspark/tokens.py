@@ -71,12 +71,15 @@ def _detok_list_array(arr: pa.Array) -> pa.Array:
     flat32 = arr.flatten()
     mx = pc.max(flat32).as_py() if len(flat32) else 0
     if mx is not None and mx >= 128:
+        # arr.offsets are ABSOLUTE indices into the raw child arr.values
+        # (true for sliced arrays too), so pair them — never with the
+        # flatten()-rebased buffer. Validity is precomputed once as a mask
+        # (pyarrow's Array.is_valid() takes no index argument).
         offs = np.asarray(arr.offsets)
-        vals = np.asarray(flat32)
+        vals = np.asarray(arr.values)
+        valid = np.asarray(arr.is_valid())
         strs = [
-            None
-            if not arr.is_valid(i).as_py()
-            else "".join(map(chr, vals[offs[i] : offs[i + 1]]))
+            "".join(map(chr, vals[offs[i] : offs[i + 1]])) if valid[i] else None
             for i in range(len(arr))
         ]
         return pa.array(strs, type=pa.string())

@@ -150,3 +150,28 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_job_stats_readback_prunes_on_part_id(spark, small_corpus, tmp_path_factory):
+    """job.py's post-write control stats read only THIS run's partitions:
+    part_id is a physical partition directory, so the isin() filter must
+    show up as a PartitionFilter (file-listing-level pruning — cost
+    proportional to the run, not to accumulated history) and the scan must
+    read only the route column (ReadSchema pruned)."""
+    from logspark import pipeline, sinks
+
+    out = str(tmp_path_factory.mktemp("statsprune") / "sinks")
+    from logspark import control as ctl
+
+    routed = ctl.with_partition_id(pipeline.routed_hits(spark, small_corpus), 8)
+    sinks.write_fanout(routed, out, partition_cols=["sink", "part_id"])
+    this_run = (
+        spark.read.parquet(out)
+        .filter(F.col("part_id").isin([1, 3]))
+        .select("part_id", "route")
+    )
+    txt = plan_text(ctl.partition_stats(this_run, "r"))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "part_id" in m.group(1), txt
+    m = re.search(r"ReadSchema: ([^\n]*)", txt)
+    assert m and "route" in m.group(1) and "doc_id" not in m.group(1), txt

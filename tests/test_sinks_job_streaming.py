@@ -56,6 +56,60 @@ def test_job_end_to_end_with_resume(spark, tmp_path):
     assert committed == 8
 
 
+def test_job_kill_between_data_and_control_no_duplicates(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-atomicity of the parquet commit protocol: a kill AFTER the
+    sink write but BEFORE the control append must not duplicate rows on
+    resume. The (sink, part_id) dynamic-overwrite layout makes the replay
+    REPLACE the orphaned files (reference analog: per-file status rows,
+    lib_database.py:101-117)."""
+    from logspark import job
+
+    corpus_path = str(tmp_path / "kcorpus")
+    synth.write_corpus(spark, 1000, corpus_path)
+    out = str(tmp_path / "kout")
+    ckpt = str(tmp_path / "kckpt")
+    argv = [
+        "--input", corpus_path, "--output", out, "--checkpoint", ckpt,
+        "--partitions", "8", "--run-id", "crash", "--cores", "8",
+    ]
+
+    # run 1: simulate the kill — data lands, control append never happens
+    monkeypatch.setattr(
+        control.CheckpointStore, "append", lambda self, rows: None
+    )
+    assert job.main(argv) == 0
+    monkeypatch.undo()
+    assert spark.read.parquet(out).count() == 1000
+    store = control.CheckpointStore(spark, ckpt)
+    assert store.committed_ids().count() == 0  # nothing committed
+
+    # run 2: full replay of all (still-pending) partitions -> exact counts
+    assert job.main(argv[:-4] + ["--run-id", "resume", "--cores", "8"]) == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 1000  # no duplicates survived the replay
+    assert back.select("doc_id").distinct().count() == 1000
+    assert store.committed_ids().count() == 8
+
+    # run 3: PARTIAL control loss (control rows for half the partitions
+    # gone — e.g. a kill mid-append): only those partitions replay, counts
+    # still exact
+    keep = store.read().filter(F.col("part_id") < 4)
+    keep_pd = keep.toPandas()
+    import shutil
+
+    shutil.rmtree(ckpt)
+    spark.createDataFrame(keep_pd, schema=control.CONTROL_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(ckpt)
+    assert job.main(argv[:-4] + ["--run-id", "resume2", "--cores", "8"]) == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("doc_id").distinct().count() == 1000
+    assert store.committed_ids().count() == 8
+
+
 def test_multimodal_stub_and_stats(spark, tmp_path):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     media = multimodal.synth_media(docs)

@@ -42,6 +42,30 @@ def test_tokenize_roundtrip_vs_jvm(spark):
     assert back.filter(F.col("line") != F.col("line2")).count() == 0
 
 
+def test_detok_arrow_non_ascii_nulls_and_slices(spark):
+    """The >=128 fallback in _detok_list_array: code points above ASCII,
+    null rows, and a SLICED input array (absolute offsets) all roundtrip
+    through detokenize_map_in_arrow. Regression for the arr.is_valid(i)
+    TypeError + flatten()/absolute-offset misalignment."""
+    import pyarrow as pa
+
+    texts = ["héllo wörld", "naïve café", "plain ascii", "", "日本語テキスト"]
+    rows = [(i, [ord(c) for c in t]) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    out = tokens.detokenize_map_in_arrow(df, "tokens", out="line")
+    got = {r["doc_id"]: r["line"] for r in out.collect()}
+    assert got == dict(enumerate(texts))
+
+    # direct unit check on a sliced array with a null row
+    arr = pa.array(
+        [[72, 105], [233, 234, 10], None, [0x65E5, 0x672C]],
+        type=pa.list_(pa.int32()),
+    )
+    full = tokens._detok_list_array(arr).to_pylist()
+    assert full == ["Hi", "éê\n", None, "日本"]
+    assert tokens._detok_list_array(arr.slice(1)).to_pylist() == full[1:]
+
+
 def test_token_invariant_preserved(spark, small_corpus):
     routed = pipeline.routed_hits(spark, small_corpus)
     assert tokens.token_invariant_violations(routed).count() == 0
