@@ -40,6 +40,7 @@ _SOURCE_CASE = """CASE
   WHEN d % 20 < 16 THEN 'nginx-json01'
   WHEN d % 20 < 18 THEN 'cloudfront-dist1'
   WHEN d % 20 < 19 THEN 'iis01'
+  WHEN d % 40 = 19 THEN 'ven1'
   ELSE 'w3c-node03' END"""
 
 # One row per d; FIELDS_SQL yields every ground-truth field the oracle needs.
@@ -167,6 +168,7 @@ def corpus_sql(rel: str) -> str:
 # ---------------------------------------------------------------------------
 
 ROUTE_CASE_SQL = """CASE
+  WHEN source IN ('ven1') THEN 'invalid'
   WHEN corrupt THEN 'invalid'
   WHEN status >= 400 THEN 'http_error'
   WHEN status >= 300 THEN 'redirect'

@@ -39,3 +39,59 @@ def retained(data: DataFrame, date_status: DataFrame) -> DataFrame:
     return d.join(
         F.broadcast(completed_dates(date_status)), ["source", "log_date"], "left_anti"
     ).drop("log_date")
+
+
+def archive_and_retire(
+    spark,
+    live_dir: str,
+    date_status: DataFrame,
+    archive_dir: str,
+) -> dict:
+    """S7: the archive/compact step of retention (reference ``_compact_file``
+    + ``clean_pretables``, /root/reference/proc/clean_data.py:28-52: tar.gz
+    the pretable of every COMPLETED date, then delete the original).
+
+    Parquet fallback semantics (production = Iceberg ``DELETE WHERE`` +
+    ``rewrite_data_files`` with gzip + ``expire_snapshots``):
+
+      * the live table is partitioned by (source, log_date) — the retention
+        unit — so the retired slice is a set of whole directories. The
+        archive read is partition-PRUNED (an OR-of-literal-pairs filter over
+        partition columns) and the delete is a directory drop: cost is
+        proportional to the retired slice, never a full-table rewrite.
+      * the archive write uses gzip-compressed parquet with dynamic
+        partition overwrite keyed on (source, log_date) — the same
+        crash-replay protocol as job.py: archive lands durably BEFORE the
+        live delete, and a rerun after a kill REPLACES the archive
+        partitions instead of duplicating them.
+
+    Returns {'archived_rows', 'pairs'} for the caller's bookkeeping."""
+    import os
+    import shutil
+
+    pairs = [
+        (r["source"], r["log_date"])
+        for r in completed_dates(date_status).distinct().collect()
+    ]
+    if not pairs:
+        return {"archived_rows": 0, "pairs": []}
+
+    pred = None
+    for s, d in pairs:
+        p = (F.col("source") == s) & (F.col("log_date") == F.lit(d))
+        pred = p if pred is None else (pred | p)
+    retire = spark.read.parquet(live_dir).filter(pred)
+    (
+        retire.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "gzip")
+        .partitionBy("source", "log_date")
+        .parquet(archive_dir)
+    )
+    archived = spark.read.parquet(archive_dir).filter(pred).count()
+    for s, d in pairs:
+        shutil.rmtree(
+            os.path.join(live_dir, f"source={s}", f"log_date={d}"),
+            ignore_errors=True,
+        )
+    return {"archived_rows": archived, "pairs": pairs}

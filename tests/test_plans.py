@@ -124,7 +124,7 @@ def test_aqe_splits_skewed_join(spark):
     corpus = synth.corpus(spark, 20000)
     dim = spark.createDataFrame(
         [(s,) for s in ["apache-hiperion", "varnish02", "nginx-json01",
-                        "cloudfront-dist1", "iis01", "w3c-node03"]],
+                        "cloudfront-dist1", "iis01", "w3c-node03", "ven1"]],
         "source string",
     ).withColumn("weight", F2.length("source"))
     confs = {
