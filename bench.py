@@ -156,17 +156,15 @@ def main() -> None:
             spark.stop()
 
     def _clean_min(cores: int) -> float:
-        """Min over cycles whose probe was within 1.5x of the best probe
-        seen (i.e. host not in a throttling window); falls back to the
-        global min if every cycle was degraded."""
-        all_probes = [p for ps in probes.values() for p in ps]
-        ref = min(all_probes) if all_probes else 0.0
-        ok = [
-            t
-            for t, p in zip(times[cores], probes[cores])
-            if ref == 0 or p <= 1.5 * ref
-        ]
-        return min(ok) if ok else min(times[cores])
+        """Per-level minimum over ALL cycles. Host throttling (minutes-long
+        ~8x slowdown windows on this sandbox) can only make a cycle SLOWER,
+        never faster, so the min is the throttle-robust capability
+        estimate — one clean cycle suffices. (Round 1 gated the min on a
+        per-cycle CPU probe; a probe taken just before a window ended
+        excluded the genuinely-fastest cycle and under-reported scaling
+        efficiency as 0.734 vs the true 0.86. Probes are still recorded,
+        as diagnostics only.)"""
+        return min(times[cores])
 
     t_hi = _clean_min(CPUS)
     result["pipeline"] = {

@@ -74,13 +74,16 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
     left-assoc dot keeps doubles bit-identical across engines.
     TakeOrderedAndProject (no full sort); deterministic vec_id tiebreak."""
     q = F.broadcast(
-        emb.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("embedding").alias("qv")
-        )
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+        .withColumn("qn", F.expr(_norm_sql("qv")))
     )
     j = emb.crossJoin(q)
+    # query norm is hoisted INTO the broadcast side (computed once, not per
+    # scanned row); the scanned row's norm is necessarily per-row. Values
+    # are identical wherever computed, so the oracle needs no change.
     sim = F.expr(_dot_sql("embedding", "qv")) / (
-        F.expr(_norm_sql("embedding")) * F.expr(_norm_sql("qv"))
+        F.expr(_norm_sql("embedding")) * F.col("qn")
     )
     return (
         j.select("vec_id", "label", sim.alias("cosine"))
@@ -114,16 +117,16 @@ def ivf_topk(
 ) -> DataFrame:
     """ANN probe: scan only the query's sign bucket, exact rank inside."""
     q = F.broadcast(
-        emb.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("embedding").alias("qv")
-        )
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+        .withColumn("qn", F.expr(_norm_sql("qv")))
     )
     bucketed = emb.withColumn("bucket", sign_bucket_expr("embedding", bits))
     cand = bucketed.crossJoin(q).filter(
         F.col("bucket") == sign_bucket_expr("qv", bits)
     )
     sim = F.expr(_dot_sql("embedding", "qv")) / (
-        F.expr(_norm_sql("embedding")) * F.expr(_norm_sql("qv"))
+        F.expr(_norm_sql("embedding")) * F.col("qn")
     )
     return (
         cand.select("vec_id", "label", "bucket", sim.alias("cosine"))
@@ -172,10 +175,15 @@ def neardup_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     the reference's pipeline implies for training corpora (per-round brief);
     no counterpart in /root/reference (it has no vector ops at all).
     """
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).withColumn("na", F.expr(_norm_sql("ea")))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    ).withColumn("nb", F.expr(_norm_sql("eb")))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    cos = cosine_pair_expr("ea", "eb")
+    # norms hoisted below the join: computed n times, not O(n^2) times
+    cos = F.expr(_dot_sql("ea", "eb")) / (F.col("na") * F.col("nb"))
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") > threshold
     )
@@ -221,9 +229,14 @@ def neardup_pairs(
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = cosine_pair_expr("ea", "eb")
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).withColumn("na", F.expr(_norm_sql("ea")))
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    ).withColumn("nb", F.expr(_norm_sql("eb")))
+    # norms hoisted below the verify join: n evaluations, not |candidates|
+    cos = F.expr(_dot_sql("ea", "eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")

@@ -227,6 +227,53 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs via Hamming-ball LSH.
+
+    The 32-bit fingerprint is split into 4 bands of 8 bits; by pigeonhole
+    any pair within Hamming distance 3 agrees on at least one band, so the
+    (band, band_value) equi-self-join has EXACT recall for the <=3-ball —
+    no O(n^2) stage, same scale shape as the MinHash path. Candidates are
+    verified with bit_count(xor) <= max_hamming (popcount is exact, so
+    precision is exact too). max_hamming > 3 would need more bands
+    (pigeonhole: bands > max_hamming).
+
+    Returns (doc_a, doc_b, hamming)."""
+    assert max_hamming < 4, "4 bands guarantee recall only for distance <= 3"
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST(floor(simhash / {2 ** (8 * b)}) AS BIGINT) % 256"
+                        ).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (banded to avoid O(n^2))
 # ---------------------------------------------------------------------------
@@ -350,6 +397,82 @@ def token_counts(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit("[a-z]+")).alias("alpha_tokens"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_words: int = 12,
+    max_avg_word_len: float = 6.0,
+    langs: tuple = ("en", "es", "fr"),
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end training-data curation verdict per document — the
+    composition a 100TB pretraining pipeline runs as one pass:
+
+      1. quality gate   (too short / implausible word lengths)
+      2. language gate  (no recognized language markers at all)
+      3. exact-dup      (non-keeper of an exact duplicate group)
+      4. near-dup       (larger doc_id of a verified MinHash-LSH pair)
+
+    First matching reason wins (deterministic). Returns
+    (doc_id, drop_reason, keep) for EVERY input document.
+
+    Scale shape: the gates are pure column expressions; the dedup legs are
+    the same bucketed designs as dedup_exact / minhash_neardup_verified
+    (no O(n^2) stage anywhere); the final assembly is three left joins on
+    doc_id against SMALL loser sets (losers are a fraction of the corpus;
+    at extreme dup rates they are still < n and join on the primary key)."""
+    q = quality_scores(docs).select(
+        "doc_id", "n_words", "avg_word_len"
+    )
+    lang = lang_id(docs).select(
+        "doc_id",
+        (F.col("score_en") + F.col("score_es") + F.col("score_fr")).alias(
+            "lang_signal"
+        ),
+        "lang_pred",
+    )
+    # FULL-content hash (unlike exact_dedup_groups' prefix fingerprint):
+    # curation must not mistake a prefix-sharing near-duplicate for an
+    # exact one — those belong to the near_dup leg's Jaccard verdict
+    key = F.md5(F.lower(F.col("text")))
+    d = docs.select("doc_id", key.alias("dup_key"))
+    keepers = d.groupBy("dup_key").agg(F.min("doc_id").alias("keeper"))
+    exact_losers = (
+        d.join(keepers, "dup_key")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", F.lit(True).alias("is_exact_loser"))
+    )
+    near_losers = (
+        minhash_neardup_verified(docs, threshold=jaccard_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_loser", F.lit(True))
+    )
+    j = (
+        q.join(lang, "doc_id")
+        .join(exact_losers, "doc_id", "left")
+        .join(near_losers, "doc_id", "left")
+    )
+    reason = (
+        F.when(
+            (F.col("n_words") < min_words)
+            | (F.col("avg_word_len") > max_avg_word_len),
+            "quality",
+        )
+        .when(
+            (F.col("lang_signal") <= 0) | ~F.col("lang_pred").isin(*langs),
+            "language",
+        )
+        .when(F.col("is_exact_loser"), "exact_dup")
+        .when(F.col("is_near_loser"), "near_dup")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        "doc_id",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
     )
 
 

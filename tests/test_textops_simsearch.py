@@ -56,6 +56,43 @@ def test_simhash_near_dup_close(docs):
     assert hamming(fps[1], fps[3]) < hamming(fps[1], fps[5])
 
 
+def test_simhash_neardup_matches_bruteforce(spark, docs):
+    """Banded Hamming-LSH path == brute-force all-pairs (exact recall for
+    distance <= 3 by pigeonhole; exact precision via popcount verify)."""
+    fps = {r["doc_id"]: r["simhash"] for r in textops.simhash(docs).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in textops.simhash_neardup(docs).collect()
+    }
+    assert got == brute
+    assert (1, 2, 0) in got  # the planted exact dup
+
+
+def test_curate_corpus_reasons(docs):
+    """Composite curation verdict: first-match-wins reasons. Quality gates
+    disabled (toy docs are all short) to expose the downstream legs; the
+    near_dup leg is exercised at sf0.01 by the oracle-matched driver query
+    (17 near_dup drops), not here — toy Jaccard is below the LSH s-curve."""
+    out = {
+        r["doc_id"]: r["drop_reason"]
+        for r in textops.curate_corpus(
+            docs, min_words=0, max_avg_word_len=99.0
+        ).collect()
+    }
+    assert out[1] is None  # keeper of the exact-dup group
+    assert out[2] == "exact_dup"  # identical full text, larger doc_id
+    assert out[4] is None  # Spanish markers -> lang ok
+    assert out[5] == "language"  # no markers at all -> unidentifiable
+    assert out[3] is None
+
+
 def test_jaccard_exact_values(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r for r in textops.jaccard_pairs(docs).collect()}
     p12 = pairs[(1, 2)]
