@@ -113,6 +113,64 @@ def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
     return balanced.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+def frame_sample_plan(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Uniform frame-sampling SCHEDULE for video rows: one row per sampled
+    frame with its timestamp. ~1 frame/sec capped at max_frames, uniformly
+    spaced over the clip. Pure column math + one explode (no shuffle, no
+    Python) — the schedule is DuckDB-oracle-checkable; fetching/DECODING the
+    frame at each timestamp is the stubbed codec boundary
+    (decode_and_featurize). Returns (doc_id, duration_ms, n_frames,
+    frame_idx, frame_time_ms)."""
+    v = media.filter(F.col("kind") == "video").select(
+        "doc_id", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    n = F.expr(
+        f"CAST(least({max_frames}, greatest(1, floor(duration_ms / 1000))) AS INT)"
+    )
+    return (
+        v.withColumn("n_frames", n)
+        .select(
+            "doc_id",
+            "duration_ms",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+        )
+        .withColumn(
+            "frame_time_ms",
+            F.expr("CAST(floor(frame_idx * duration_ms / n_frames) AS INT)"),
+        )
+    )
+
+
+def resize_plan(media: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize plan for image rows: fit within
+    target x target, never upscale. Integer math only (floor of exact
+    ratios), so the plan is engine-portable and oracle-checkable; executing
+    the resample over payload bytes is the stubbed codec boundary."""
+    m = media.filter(F.col("kind") == "image").select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    mx = F.greatest("width", "height")
+    out_w = F.expr(
+        f"CAST(floor(width * {target} / greatest(width, height)) AS INT)"
+    )
+    out_h = F.expr(
+        f"CAST(floor(height * {target} / greatest(width, height)) AS INT)"
+    )
+    return m.select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(mx <= target, F.col("width")).otherwise(out_w).alias("out_w"),
+        F.when(mx <= target, F.col("height")).otherwise(out_h).alias("out_h"),
+        (mx > target).alias("downscaled"),
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must never read the payload column
     (check .explain ReadSchema when backed by parquet)."""

@@ -183,6 +183,45 @@ def _stateful_source_totals(
     )
 
 
+def stream_dedup_doc_ids(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """Stateful streaming DEDUP: the corpus is materialized TWICE (every
+    doc arrives in two different files / micro-batches) and drained through
+    ``dropDuplicates('doc_id')`` — the streaming analog of the reference's
+    insert-if-absent control-row discipline (J2, lib_database.py:74-94)
+    and of exact dedup: state remembers seen keys across micro-batches.
+
+    Returns one row per distinct doc_id (must equal the batch corpus
+    exactly). Production note: unbounded keyspaces need
+    ``dropDuplicatesWithinWatermark`` so state can be evicted; here the
+    whole input is drained (AvailableNow) so full-state dedup is the
+    correct semantics to verify."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="logspark_stream_dedup_")
+    try:
+        inp = f"{base}/in"
+        corpus.write.mode("overwrite").parquet(inp)
+        corpus.write.mode("append").parquet(inp)  # second arrival of every doc
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        stream = read_corpus_stream(spark, inp)
+        dedup = stream.select("doc_id", "source").dropDuplicates(["doc_id"])
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def start_fanout_stream(
     spark: SparkSession, corpus_path: str, out_dir: str, checkpoint: str
 ):
