@@ -10,9 +10,11 @@ Stages (mirrors the reference control loop, SURVEY.md §3 E1/E2/E3):
   3. RESUME: anti-join vs committed control partitions (J4)
   4. detokenize -> detect -> parse -> enrich -> route (one narrow pass,
      observe() counters riding along)
-  5. fan-out write, physically partitioned by (sink, part_id), direct
-     distribution (no pre-write shuffle; pass --distribution salted when
-     the runtime itself must bound file counts — see sinks.write_fanout)
+  5. fan-out write, physically partitioned by (sink, part_id),
+     'partitioned' distribution by default (one part_id shuffle so each
+     directory is written by exactly one task — Iceberg
+     write.distribution-mode=hash analog; see sinks.write_fanout for the
+     direct/salted alternatives and their measured trade-offs)
   6. commit per-partition control rows + lineage metrics + date-status
      rollup (guarded upsert)
 
@@ -57,9 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default="run-0")
     p.add_argument(
         "--distribution",
-        choices=["direct", "salted"],
-        default="direct",
-        help="fan-out write distribution (see sinks.write_fanout)",
+        choices=["direct", "salted", "partitioned"],
+        default="partitioned",
+        help="fan-out write distribution (see sinks.write_fanout); "
+        "'partitioned' co-locates each part_id in one task so the "
+        "(sink, part_id) layout writes ~1 file per directory",
     )
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--iceberg", action="store_true")
