@@ -54,7 +54,10 @@ HEADLINE = [
     "orders_with_shipped_items",
     "dedup_exact",
     "lsh_candidate_pairs",
+    "minhash_neardup_verified",
     "simhash",
+    "simhash_neardup",
+    "curate_corpus",
     "token_counts",
     "lang_id",
     "quality_scores",

@@ -238,6 +238,13 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     precision is exact too). max_hamming > 3 would need more bands
     (pigeonhole: bands > max_hamming).
 
+    Scale note: 8-bit bands give only 256 buckets/band — at 10^9+ docs a
+    bucket holds millions and the within-bucket join goes quadratic. The
+    production geometry is a 64-bit fingerprint with 16-bit bands (65,536
+    buckets; 4 bands still covers distance <= 3), optionally sub-banded a
+    second time inside hot buckets. The 32-bit/8-bit choice here matches
+    the DuckDB-portable fingerprint and the test-corpus size.
+
     Returns (doc_a, doc_b, hamming)."""
     assert max_hamming < 4, "4 bands guarantee recall only for distance <= 3"
     sh = simhash(docs)

@@ -60,6 +60,31 @@ def test_codec_roundtrip(spark, arrays):
 
 @given(arrays=token_arrays)
 @settings(**_SETTINGS)
+def test_arrow_detok_parity_any_input(spark, arrays):
+    """detokenize_map_in_arrow == detokenize_expr for ARBITRARY token
+    arrays in the codec domain (1-255) — this drives the Arrow codec's
+    >=128 per-row fallback (validity mask + absolute offsets) through
+    hypothesis, not just the ASCII zero-copy fast path."""
+    from logspark import tokens as tk
+
+    rows = [(f"doc-{i}", "src", a, len(a)) for i, a in enumerate(arrays)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>, n_tok int"
+    )
+    arrow = tk.detokenize_map_in_arrow(df, "tokens", out="line")
+    jvm = df.withColumn("line_j", tk.detokenize_expr("tokens"))
+    joined = (
+        arrow.select("doc_id", "line")
+        .join(jvm.select("doc_id", "line_j"), "doc_id")
+        .collect()
+    )
+    assert len(joined) == len(arrays)
+    for r in joined:
+        assert r["line"] == r["line_j"]
+
+
+@given(arrays=token_arrays)
+@settings(**_SETTINGS)
 def test_conservation_any_input(spark, arrays):
     """Arbitrary (mostly garbage) token arrays: every row routed exactly
     once; no row dropped, invented, or double-counted."""
