@@ -64,6 +64,9 @@ HEADLINE = [
     "cosine_topk",
     "ivf_ann_topk",
     "embedding_neardup",
+    "asof_last_click",
+    "range_join_pairs",
+    "kmv_distinct_ips",
 ]
 
 

@@ -287,10 +287,22 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Word-set Jaccard for candidate pairs sharing a cheap band (first
-    word) — returns integer intersection/union sizes + the exact ratio."""
-    first_word = F.substring_index(F.col("text"), " ", 1)
-    d = docs.select("doc_id", first_word.alias("band"), "text")
+    """Word-set Jaccard for candidate pairs sharing a cheap band — returns
+    integer intersection/union sizes + the exact ratio.
+
+    The band is the first 2-WORD shingle, not the first word: single-word
+    bands are a skew magnet (documents opening with a stop word all land in
+    one band, and within-band candidacy is quadratic). The bigram band has
+    |V|^2 possible values, so band populations stay small and the
+    within-band join stays near-linear. The tuned MinHash-LSH path
+    (minhash_neardup_verified) remains the real scale path; this op is the
+    exact-Jaccard demo over a cheap candidate rule."""
+    first_bigram = F.concat(
+        F.substring_index(F.col("text"), " ", 1),
+        F.lit(" "),
+        F.coalesce(F.element_at(F.split(F.col("text"), " "), 2), F.lit("")),
+    )
+    d = docs.select("doc_id", first_bigram.alias("band"), "text")
     w = (
         d.select(
             "doc_id", "band", F.explode(F.split("text", " ")).alias("word")
