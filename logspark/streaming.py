@@ -225,15 +225,26 @@ def stream_dedup_doc_ids(spark: SparkSession, corpus: DataFrame) -> DataFrame:
 def start_fanout_stream(
     spark: SparkSession, corpus_path: str, out_dir: str, checkpoint: str
 ):
-    """foreachBatch fan-out: every micro-batch routed + written per sink via
-    the shared writer (idempotent by batch epoch + dynamic overwrite)."""
+    """foreachBatch fan-out, exactly-once via epoch-keyed dynamic overwrite.
+
+    foreachBatch is at-least-once: after a mid-batch kill the restarted
+    stream REPLAYS the uncommitted epoch. Appending would duplicate those
+    rows; instead each batch writes into (sink, epoch) partitions with
+    dynamic partition overwrite, so a replay REPLACES its own epoch's files
+    — the same commit protocol as job.py, keyed by epoch instead of
+    part_id. (Production Iceberg: overwritePartitions per epoch.)"""
     from logspark import sinks
 
     stream = read_corpus_stream(spark, corpus_path)
     routed = routed_stream(spark, stream)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        sinks.write_fanout(batch_df, out_dir, mode="append")
+        sinks.write_fanout(
+            batch_df.withColumn("epoch", F.lit(int(epoch_id))),
+            out_dir,
+            mode="overwrite",
+            partition_cols=["sink", "epoch"],
+        )
 
     return (
         routed.writeStream.foreachBatch(write_batch)

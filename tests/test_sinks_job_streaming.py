@@ -169,6 +169,36 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert out.filter(F.col("win_start").isNull()).count() == 0
 
 
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill a stream mid-drain, restart it on the SAME checkpoint: the
+    final fan-out counts must be exactly-once (no replayed duplicates, no
+    gaps) — the streaming analog of the job's partition-resume guarantee."""
+    from logspark import streaming
+
+    corpus_path = str(tmp_path / "rcorpus")
+    synth.write_corpus(spark, 1200, corpus_path, partitions=12)
+    out = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rckpt")
+
+    # first attempt: process a couple of micro-batches, then "crash"
+    q = streaming.start_fanout_stream(spark, corpus_path, out, ckpt)
+    import time
+
+    deadline = time.time() + 60
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()  # kill mid-drain (some batches committed, some not)
+    q.awaitTermination()
+
+    # restart on the same checkpoint: drains ONLY the remainder
+    q2 = streaming.start_fanout_stream(spark, corpus_path, out, ckpt)
+    q2.awaitTermination()
+
+    back = spark.read.parquet(out)
+    assert back.count() == 1200
+    assert back.select("doc_id").distinct().count() == 1200
+
+
 def test_fanout_salting_spreads_hot_sink(spark, small_corpus, tmp_path):
     """north_rule skew handling: the hot sink's rows carry >=2 distinct salt
     buckets so its write is shared by multiple tasks, and the physical
