@@ -45,6 +45,13 @@ def asof_join_backward(
     a ``suffix``; ``right_ts`` itself is attached as ``ts{suffix}``. Left
     rows with no prior right row get NULLs (ASOF LEFT JOIN semantics)."""
     rcols = [c for c in right.columns if c not in on and c != right_ts]
+    # NULL parity with the SQL semantics (DuckDB ASOF ON l.k = r.k AND
+    # l.ts >= r.ts): a NULL-keyed or NULL-ts right row can never match, but
+    # Spark's window PARTITION BY groups NULL keys and NULLS FIRST ordering
+    # would carry a NULL-ts right row — so drop them before the union.
+    # (NULL-keyed/NULL-ts LEFT rows need no guard: their partitions contain
+    # no right rows / sort before all of them, yielding NULLs either way.)
+    right = right.na.drop(subset=list(on) + [right_ts])
     packed = F.struct(
         F.col(right_ts).alias("ts"), *[F.col(c) for c in rcols]
     )

@@ -39,9 +39,6 @@ def perm(k: int) -> tuple[int, int]:
     return a, b
 
 
-MINHASH_PERMS = _LEGACY_PERMS  # kept name for callers indexing the first 4
-
-
 def hex32_from_digest_sql(digest: str) -> str:
     """Portable SQL: first 8 hex digits of a precomputed md5 digest column
     -> BIGINT in [0, 2^32)."""

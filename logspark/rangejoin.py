@@ -36,34 +36,36 @@ def self_range_join_forward(
     monotone second-granularity map of the timestamp — bucket ALIGNMENT is
     irrelevant, only the width matters for the adjacent-bucket guarantee —
     while the refine predicate compares the raw timestamps directly."""
+    # TZ-FREE epoch microseconds (timeutil): session-TZ mappings
+    # (unix_timestamp, and timestampdiff too — it routes NTZ through the
+    # session zone) are non-monotone across DST transitions, which can push
+    # a within-window pair >1 bucket apart and silently drop it
+    from logspark.timeutil import ntz_epoch_us_sql
+
     base = df.select(
         F.col(key).alias("k"),
         F.col(id_col).alias("id"),
         F.col(ts).alias("t"),
     ).withColumn(
-        "_b",
-        F.floor(F.expr("unix_timestamp(CAST(t AS TIMESTAMP))") / window_sec),
+        "_us", F.expr(ntz_epoch_us_sql("t"))
+    ).withColumn(
+        "_b", F.floor(F.col("_us") / (window_sec * 1_000_000))
     )
     probe = base.select(
         "k",
         F.col("id").alias("id_b"),
-        F.col("t").alias("t_b"),
+        F.col("_us").alias("us_b"),
         F.explode(F.array(F.col("_b"), F.col("_b") - 1)).alias("_b"),
     )
     build = base.select(
-        "k", F.col("id").alias("id_a"), F.col("t").alias("t_a"), "_b"
+        "k", F.col("id").alias("id_a"), F.col("_us").alias("us_a"), "_b"
     )
     cand = build.join(probe, ["k", "_b"])
-    refined = cand.filter(
-        (F.col("t_b") > F.col("t_a"))
-        & (
-            F.expr("timestampdiff(MICROSECOND, t_a, t_b)")
-            <= window_sec * 1_000_000
-        )
-    )
+    gap = F.col("us_b") - F.col("us_a")
+    refined = cand.filter((gap > 0) & (gap <= window_sec * 1_000_000))
     return refined.select(
         F.col("k").alias(key),
         "id_a",
         "id_b",
-        F.expr("timestampdiff(MICROSECOND, t_a, t_b)").alias("us_gap"),
+        gap.alias("us_gap"),
     )

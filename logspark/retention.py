@@ -89,9 +89,19 @@ def archive_and_retire(
         .parquet(archive_dir)
     )
     archived = spark.read.parquet(archive_dir).filter(pred).count()
-    for s, d in pairs:
-        shutil.rmtree(
-            os.path.join(live_dir, f"source={s}", f"log_date={d}"),
-            ignore_errors=True,
-        )
+    # delete by DISCOVERING the physical directories and decoding their
+    # partition values — never by re-building path strings (Spark escapes
+    # special characters in partition paths, e.g. 'a b' -> 'a%20b', and a
+    # hand-built path would silently miss those dirs, leaving the retired
+    # slice alive in BOTH live and archive)
+    import glob
+    from urllib.parse import unquote
+
+    want = {(str(s), str(d)) for s, d in pairs}
+    for sdir in glob.glob(os.path.join(live_dir, "source=*")):
+        sval = unquote(os.path.basename(sdir).split("=", 1)[1])
+        for ddir in glob.glob(os.path.join(sdir, "log_date=*")):
+            dval = unquote(os.path.basename(ddir).split("=", 1)[1])
+            if (sval, dval) in want:
+                shutil.rmtree(ddir, ignore_errors=False)
     return {"archived_rows": archived, "pairs": pairs}

@@ -161,11 +161,6 @@ def duck_band_bucket_sql(col: str, band: int, bits_per_band: int) -> str:
     return "CAST((" + " + ".join(terms) + ") AS INT)"
 
 
-def cosine_pair_expr(a: str, b: str):
-    """Exact pair cosine, identical association order to the DuckDB oracle."""
-    return F.expr(_dot_sql(a, b)) / (F.expr(_norm_sql(a)) * F.expr(_norm_sql(b)))
-
-
 def neardup_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact O(n^2) baseline.
 

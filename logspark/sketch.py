@@ -33,8 +33,12 @@ def kmv_distinct(
 ) -> DataFrame:
     """Per-group KMV sketch + estimate. Returns
     (group, kmv_n, kmv_hk, kmv_estimate)."""
+    # NULL values are excluded EXPLICITLY (COUNT DISTINCT semantics): a
+    # NULL hash would otherwise rank first in Spark (NULLS FIRST) but last
+    # in DuckDB, skewing kmv_n/h_k differently per engine
     h = (
-        df.select(group, F.md5(F.col(col)).alias("_dg"))
+        df.filter(F.col(col).isNotNull())
+        .select(group, F.md5(F.col(col)).alias("_dg"))
         .withColumn("_h", F.expr(ph.hex32_from_digest_sql("_dg")))
         .select(group, "_h")
         .distinct()
@@ -63,7 +67,8 @@ def duck_kmv_sql(rel: str, group: str, col: str, k: int = 64) -> str:
     return f"""
 WITH h AS (
   SELECT DISTINCT {group}, {h32} AS _h
-  FROM (SELECT {group}, md5({col}) AS _dg FROM {rel}) d0),
+  FROM (SELECT {group}, md5({col}) AS _dg FROM {rel}
+        WHERE {col} IS NOT NULL) d0),
 topk AS (
   SELECT {group}, _h,
          row_number() OVER (PARTITION BY {group} ORDER BY _h) AS _rn

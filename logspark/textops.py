@@ -297,10 +297,12 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     within-band join stays near-linear. The tuned MinHash-LSH path
     (minhash_neardup_verified) remains the real scale path; this op is the
     exact-Jaccard demo over a cheap candidate rule."""
+    # F.get (not element_at): out-of-bounds returns NULL under ANSI mode
+    # too, so one-word documents band as "word " instead of aborting
     first_bigram = F.concat(
         F.substring_index(F.col("text"), " ", 1),
         F.lit(" "),
-        F.coalesce(F.element_at(F.split(F.col("text"), " "), 2), F.lit("")),
+        F.coalesce(F.get(F.split(F.col("text"), " "), 1), F.lit("")),
     )
     d = docs.select("doc_id", first_bigram.alias("band"), "text")
     w = (

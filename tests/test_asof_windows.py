@@ -114,3 +114,65 @@ def test_kmv_estimate_accuracy(spark):
     # big group: estimate within 3 std errors
     est, true = out[0]["kmv_estimate"], exact[0]
     assert abs(est - true) / true < 3 * (1 / 64**0.5), (est, true)
+
+
+def test_asof_null_key_and_ts_parity(spark):
+    """NULL-keyed / NULL-ts right rows must never enrich anything (SQL
+    equality/inequality semantics, matching DuckDB ASOF JOIN); NULL-keyed
+    left rows get NULLs."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (2, None, t(5))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, t(1), 10.0), (None, t(0), 66.0), (100, None, 77.0)],
+        "user_id int, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v_asof"]
+        for r in asof.asof_join_backward(left, right, on=["user_id"]).collect()
+    }
+    assert out[1] == 10.0  # real row wins; NULL-ts row (77.0) never carried
+    assert out[2] is None  # NULL key never matches the NULL-key right row
+
+
+def test_range_join_bucket_is_session_tz_independent(spark):
+    """The bucket id must be TZ-free: identical pair sets under any
+    spark.sql.session.timeZone, including a DST zone whose offset jumps
+    (a session-TZ unix_timestamp mapping would tear windows apart at the
+    spring-forward gap)."""
+    import datetime as dt
+
+    from logspark import rangejoin
+
+    # pairs straddling the US spring-forward instant (2024-03-10 02:00 NY)
+    rows = [
+        (1, 7, dt.datetime(2024, 3, 10, 1, 50)),
+        (2, 7, dt.datetime(2024, 3, 10, 2, 20)),
+        (3, 7, dt.datetime(2024, 3, 10, 3, 5)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp_ntz")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    results = {}
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = rangejoin.self_range_join_forward(ev, key="user_id", window_sec=1800)
+            results[tz] = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    # (2,3) is 45 min apart — outside the 30-min window; only (1,2) qualifies
+    assert results["UTC"] == results["America/New_York"] == {(1, 2)}
+
+
+def test_kmv_ignores_nulls(spark):
+    from logspark import sketch
+
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (0, None), (0, "a")], "g int, v string"
+    )
+    out = sketch.kmv_distinct(df, "g", "v", k=8).collect()[0]
+    assert out["kmv_n"] == 2 and out["kmv_estimate"] == 2.0

@@ -163,3 +163,33 @@ def test_retry_adjusted_progress(spark):
     assert rows[110_000] == (0, control.FAILED)
     assert rows[50_000] == (0, control.FAILED)
     assert rows[0] == (0, control.FAILED)
+
+
+def test_retention_archive_handles_escaped_partition_names(spark, tmp_path):
+    """Source values Spark URL-escapes in partition paths (spaces, '=')
+    must still be deleted from live — the delete discovers directories and
+    DECODES their names instead of rebuilding path strings."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F2
+
+    rows = [
+        ("srv a=1", dt.datetime(2024, 3, 1, 10), i) for i in range(5)
+    ] + [("plain", dt.datetime(2024, 3, 2, 10), i) for i in range(5)]
+    data = spark.createDataFrame(rows, "source string, ts timestamp, n int")
+    live = str(tmp_path / "elive")
+    data.withColumn("log_date", F2.to_date("ts")).write.partitionBy(
+        "source", "log_date"
+    ).parquet(live)
+
+    ds = spark.createDataFrame(
+        [("srv a=1", dt.date(2024, 3, 1), status.S_COMPLETED)],
+        "source string, log_date date, status int",
+    )
+    arch = str(tmp_path / "earch")
+    res = retention.archive_and_retire(spark, live, ds, arch)
+    assert res["archived_rows"] == 5
+    left = spark.read.parquet(live)
+    assert left.count() == 5  # escaped-name partition really deleted
+    assert left.filter(F2.col("source") == "srv a=1").count() == 0
+    assert spark.read.parquet(arch).count() == 5
