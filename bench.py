@@ -38,7 +38,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "4000000"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
-REPS = int(os.environ.get("BENCH_REPS", "6"))
+# 8 -> 4 alternating cycles per level: the efficiency estimate is a ratio
+# of per-level MINIMA, and each extra cycle is another chance for BOTH
+# levels to land in a clean host window (this sandbox throttles in
+# minutes-long windows; 3 cycles measurably under-sampled the clean state)
+REPS = int(os.environ.get("BENCH_REPS", "8"))
 CACHE = os.path.join(REPO, ".bench_cache")
 
 # headline driver queries timed at SF_DIR (subset of __spark_entry__.queries()
