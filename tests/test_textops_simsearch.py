@@ -169,3 +169,27 @@ def test_neardup_exact_finds_identical_vectors(spark):
     out = simsearch.neardup_exact(emb, threshold=0.99).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
     assert abs(out[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_bpe_learning_invariants(docs):
+    """Corpus-driven BPE merges: step-ordered, merged == pair sans space,
+    counts non-increasing; post-merge token counts land between
+    words-per-doc and chars-per-doc and strictly compress the corpus."""
+    from logspark import bpe
+
+    merges = bpe.learn_merges(docs, steps=3).collect()
+    assert [r["step"] for r in merges] == [1, 2, 3]
+    assert all(r["merged"] == r["pair"].replace(" ", "") for r in merges)
+    assert all(
+        merges[i]["cnt"] >= merges[i + 1]["cnt"] for i in range(len(merges) - 1)
+    ), "a later merge cannot beat an earlier one on the corpus it was learned from"
+
+    tc = {r["doc_id"]: r for r in bpe.token_counts_after_merges(docs, steps=3).collect()}
+    w = {r["doc_id"]: (r["nw"], r["nc"]) for r in docs.selectExpr(
+        "doc_id", "size(split(text, ' ')) AS nw", "length(replace(text, ' ', '')) AS nc"
+    ).collect()}
+    for d, row in tc.items():
+        nw, nc = w[d]
+        assert row["n_base"] == nc
+        assert nw <= row["n_bpe"] <= nc
+    assert sum(r["n_bpe"] for r in tc.values()) < sum(r["n_base"] for r in tc.values())
