@@ -16,6 +16,15 @@ Design goals (BASELINE.json north_rule):
   * per-partition lineage + accumulator/observe metrics on every stage;
   * resumable from checkpoint state (anti-join vs committed partitions);
   * >=0.8 throughput scaling efficiency from N to 4N cores.
+
+Beyond the reference, the training-data operator suite (per-round brief):
+dedup (exact / shingle-MinHash-LSH verified / SimHash Hamming-ball /
+n-gram Jaccard / embedding-cosine), similarity search (cosine top-k, IVF,
+sign-LSH), text analysis (lang-ID, quality, token counts, fingerprints,
+corpus curation, BPE merge training), multimodal plumbing (stub codecs,
+frame-sample/resize plans), temporal operators (as-of join, bucketized
+range join, time buckets, sessionization), and a deterministic KMV
+distinct sketch — every one verified value-exact against a DuckDB oracle.
 """
 
 __version__ = "0.1.0"
