@@ -1,0 +1,113 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+The last stage of a real training-data dedup pipeline. LSH + verify emits
+PAIRS (a ~ b); what the pipeline must act on is CLUSTERS — transitive
+closure of ~ — with one canonical survivor per cluster (near-duplication
+is not transitive: a~b and b~c does not imply a~c passes the threshold,
+but keeping both b and c when each duplicates a is still double-counting
+the same content). Reference analog: the dedup/retire survivor selection
+in clean_data (/root/reference/proc/clean_data.py:27-52 picks one file to
+keep per retired group); here it is generalized to similarity clusters.
+
+Spark-first design — min-label propagation with pointer jumping:
+
+  * labels(v) starts as v; each PROPAGATE step takes the min label over
+    v and its neighbors (one edge-keyed shuffle join + groupBy);
+  * each JUMP step composes the label map with itself
+    (labels[v] = min(labels[v], labels[labels[v]]) — one self-join),
+    the pointer-jumping trick that collapses chains geometrically, so
+    p propagate rounds with interleaved jumps cover diameters far beyond
+    p (a pure propagate loop needs diameter rounds);
+  * each round ends with localCheckpoint(eager): iterative self-joins
+    reference the previous labels TWICE per round, so an unbroken lazy
+    plan grows ~4^rounds copies of the upstream subplan (LSH + verify)
+    and Catalyst analysis itself becomes the bottleneck — the same
+    reason GraphX/Pregel materializes each superstep. The checkpointed
+    state is node-sized (doc_id, label), not corpus-sized;
+  * no collect, no driver-side graph; iteration count is fixed —
+    deterministic, and the DuckDB recursive-CTE oracle (true fixpoint)
+    proves convergence at the tested scales.
+
+Scale: the input is the verified near-dup pair set — orders of magnitude
+smaller than the corpus (selective LSH banding keeps candidates ~0.02% of
+n^2; see textops.NUM_PERMS). Each round shuffles only this edge set, keyed
+by node id — balanced, broadcast-free, no O(n^2) stage anywhere. For
+pathological diameters at extreme scale the same plan extends to the
+large-star/small-star algorithm (alternating min-joins); the fixed-round
+pointer-jumping loop here is its bounded-depth form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 4 propagate rounds + a jump after each: covers diameter >= 12 (measured
+# fixpoint parity vs the recursive oracle at sf0.01 and sf0.1; near-dup
+# clusters are near-cliques, observed diameter <= 3).
+PROPAGATE_ROUNDS = 4
+
+
+def connected_components(
+    pairs: DataFrame, rounds: int = PROPAGATE_ROUNDS
+) -> DataFrame:
+    """(doc_a, doc_b) undirected pairs -> (doc_id, cluster_id) where
+    cluster_id is the lexicographic-min doc_id of the component."""
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # the edge set is referenced every round: materialize it once so the
+    # (potentially expensive) pair-producing upstream plan runs once
+    edges = fwd.union(rev).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        # propagate: min over neighborhood
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # jump: labels[v] <- min(labels[v], labels[labels[v]])
+        lab2 = labels.select(
+            F.col("node").alias("node2"), F.col("label").alias("label2")
+        )
+        labels = (
+            labels.join(lab2, labels["label"] == lab2["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("label2", F.col("label"))
+                ).alias("label"),
+            )
+            # truncate lineage: the next round references this twice
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def neardup_clusters(pairs: DataFrame) -> DataFrame:
+    """Cluster assignment with survivor flag: (doc_id, cluster_id,
+    cluster_size, is_canonical). Canonical = the cluster's min doc_id —
+    the deterministic keep-one-drop-rest dedup decision."""
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

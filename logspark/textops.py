@@ -497,6 +497,175 @@ def curate_corpus(
     )
 
 
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Scale shape: tf is the one corpus-sized shuffle (groupBy doc_id, word
+    with map-side partial agg); document frequency and the corpus size are
+    VOCABULARY-sized / scalar aggregates broadcast back — the scoring join
+    never shuffles the corpus again. The final top-k is a per-doc-id
+    window over k<=|vocab| rows per doc.
+
+    Cross-engine float parity: tfidf = tf * ln(n_docs / df) — one division,
+    one ln, one multiply, identical association order in the DuckDB oracle;
+    ties in the ranking are broken by word so the row_number is total."""
+    from pyspark.sql.window import Window
+
+    w = words_df(docs)
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = (
+        w.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    ndocs = docs.select(F.count("*").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(
+        F.col("n_docs").cast("double") / F.col("df")
+    )
+    ranked = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(ndocs))
+        .select("doc_id", "word", "tf", "df", tfidf.alias("tfidf"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("tfidf"), F.asc("word")
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= top_k)
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document mean unigram surprisal — a corpus-LM quality signal
+    (high mean surprisal = rare-word soup / noise; low = templated text).
+
+    Float-parity design: the per-word surprisal -ln(freq/total) is floored
+    into MICRO-NATS (bigint) before summation, so the per-doc sum is an
+    integer sum — order-free, unlike a double sum whose value depends on
+    association order (Spark and DuckDB aggregate in different orders).
+    The word-frequency table is vocabulary-sized and broadcast; the only
+    corpus-sized shuffle is the per-doc aggregation."""
+    w = words_df(docs)
+    freq = w.groupBy("word").agg(F.count("*").alias("wfreq"))
+    tot = w.select(F.count("*").alias("total_words"))
+    unats = F.floor(
+        -F.log(F.col("wfreq").cast("double") / F.col("total_words"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    per_word = (
+        w.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", unats.alias("unats"))
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("unats").alias("surprisal_sum"),
+            F.count("*").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "surprisal_sum",
+            "n_words",
+            (F.col("surprisal_sum").cast("double") / F.col("n_words")).alias(
+                "mean_surprisal_unat"
+            ),
+        )
+    )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality rules):
+    distinct-word ratio and top-bigram share — templated/spammy text has a
+    low distinct ratio and one bigram dominating.
+
+    Scale shape: two corpus-sized shuffles, both keyed by doc_id content
+    ((doc_id) and (doc_id, bigram) with map-side partial aggs), then a
+    doc-sized join. Float parity: each ratio is ONE division of two exact
+    integers — bit-identical cross-engine, no association-order exposure.
+    Documents with fewer than 2 words have no bigram row and are dropped
+    by the inner join (oracle matches)."""
+    w = words_df(docs)
+    wstats = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("word").alias("n_distinct"),
+    )
+    bg = (
+        shingles_df(docs, k=2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("c"))
+    )
+    bstats = bg.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams")
+    )
+    return wstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+            "distinct_ratio"
+        ),
+        "n_bigrams",
+        "top_bigram_n",
+        (F.col("top_bigram_n").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
+def train_split(docs: DataFrame) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the portable
+    hash of doc_id — the reproducible-split primitive of a training-data
+    pipeline (no rand(): re-runs, resumes and backfills all agree, and the
+    DuckDB oracle computes the identical buckets).
+
+    Scale shape: pure per-row map (narrow, no shuffle); the split column
+    is also the natural partition key for a bucketed write."""
+    d = docs.withColumn(
+        "dg", F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    ).withColumn("bucket", F.expr(ph.hex32_from_digest_sql("dg")) % 1000)
+    return d.select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 800, "train")
+        .when(F.col("bucket") < 900, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def stratified_sample(docs: DataFrame, cap: int = 50) -> DataFrame:
+    """Per-source capped deterministic sample: keep the ``cap`` docs with
+    the smallest portable hash in each source stratum — balanced-corpus
+    downsampling (head sources stop drowning tail sources) that is fully
+    reproducible, unlike rand()-based sampling.
+
+    Scale shape: one shuffle keyed by source, then a within-partition
+    rank. Source-count strata are bounded, but a pathological stratum is a
+    skew risk — at extreme scale flip to the two-pass variant: aggregate
+    per-source counts (vocabulary-sized, broadcast back) and keep rows
+    with hash < cap/count threshold (approximate cap, no sort). The exact
+    rank version here is the oracle-checkable form; hash then doc_id makes
+    the order total so ranks are deterministic."""
+    from pyspark.sql.window import Window
+
+    d = docs.withColumn(
+        "dg", F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    ).withColumn("h", F.expr(ph.hex32_from_digest_sql("dg")))
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    )
+    return (
+        d.select("doc_id", "source", "h", rk.alias("rk"))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", "rk")
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Order-insensitive bag fingerprint: sum + count of portable word
     hashes (rolling-hash analog that parallelizes without positions).

@@ -1,0 +1,141 @@
+"""Connected-component dedup clustering vs a Python union-find oracle,
+including chains longer than the propagate round count (pointer jumping
+must cover them) and TF-IDF / surprisal semantic sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logspark import cluster, textops
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every node -> component min
+    comp = {}
+    for n in parent:
+        comp[n] = find(n)
+    return comp
+
+
+def test_components_match_union_find_on_long_chain(spark):
+    # chain d00-...-d19 (diameter 19 >> PROPAGATE_ROUNDS=4: only the
+    # interleaved pointer jumps can close it), plus a triangle and a pair
+    chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(19)]
+    tri = [("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    pair = [("p8", "p9")]
+    edges = chain + tri + pair
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster.connected_components(df).collect()
+    }
+    want = _union_find(edges)
+    # union-find normalizes to min via path compression on min-rooted trees
+    assert got == want
+    assert got["d19"] == "d00" and got["t3"] == "t1" and got["p9"] == "p8"
+
+
+def test_neardup_clusters_sizes_and_canonicals(spark):
+    edges = [("a1", "a2"), ("a2", "a3"), ("b1", "b2")]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    rows = {r["doc_id"]: r for r in cluster.neardup_clusters(df).collect()}
+    assert rows["a3"]["cluster_id"] == "a1"
+    assert rows["a1"]["cluster_size"] == 3
+    assert rows["a1"]["is_canonical"] and not rows["a2"]["is_canonical"]
+    assert rows["b2"]["cluster_id"] == "b1" and rows["b2"]["cluster_size"] == 2
+
+
+def test_tfidf_top_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "common rare1 common common"),
+            ("d2", "common common zebra"),
+            ("d3", "common plain words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.tfidf_top_terms(docs, top_k=1).collect()
+    top = {r["doc_id"]: r["word"] for r in out}
+    # 'common' appears in every doc -> idf = ln(1) = 0; rare words win
+    assert top["d1"] == "rare1" and top["d2"] == "zebra"
+    assert all(r["rk"] == 1 for r in out)
+
+
+def test_repetition_scores(spark):
+    docs = spark.createDataFrame(
+        [
+            ("loop", "a b a b a b a b"),   # "a b" bigram dominates
+            ("var", "w x y z"),            # all bigrams distinct
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_scores(docs).collect()}
+    assert out["loop"]["n_words"] == 8 and out["loop"]["n_distinct"] == 2
+    assert out["loop"]["distinct_ratio"] == 2 / 8
+    # 7 bigrams: "a b" x4, "b a" x3
+    assert out["loop"]["n_bigrams"] == 7 and out["loop"]["top_bigram_n"] == 4
+    assert out["var"]["top_bigram_share"] == 1 / 3
+    assert out["loop"]["top_bigram_share"] > out["var"]["top_bigram_share"]
+
+
+def test_train_split_deterministic_and_partitioned(spark):
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(200)], ["doc_id", "text"]
+    )
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in textops.train_split(docs).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in textops.train_split(docs).collect()}
+    assert a == b  # reproducible, no rand()
+    splits = {v[1] for v in a.values()}
+    assert splits == {"train", "val", "test"}
+    for bucket, split in a.values():
+        want = "train" if bucket < 800 else "val" if bucket < 900 else "test"
+        assert split == want
+    n_train = sum(1 for v in a.values() if v[1] == "train")
+    assert 120 <= n_train <= 200  # ~80% of 200, loose band
+
+
+def test_stratified_sample_caps_each_stratum(spark):
+    rows = [(i, "t", "big") for i in range(100)] + [
+        (1000 + i, "t", "small") for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = textops.stratified_sample(docs, cap=10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["rk"])
+    assert len(by_src["big"]) == 10 and sorted(by_src["big"]) == list(range(1, 11))
+    assert len(by_src["small"]) == 3  # under cap: all kept
+    # deterministic: same rows on re-run
+    again = textops.stratified_sample(docs, cap=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_unigram_surprisal_rare_words_score_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            ("common", "the the the the"),
+            ("rare", "qux zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.unigram_surprisal(docs).collect()}
+    assert out["rare"]["mean_surprisal_unat"] > out["common"]["mean_surprisal_unat"]
+    assert out["common"]["n_words"] == 4
+    # integer-domain sum: exact expected value floor(-ln(4/6)*1e6)*4
+    import math
+
+    per = math.floor(-math.log(4.0 / 6.0) * 1e6)
+    assert out["common"]["surprisal_sum"] == per * 4
