@@ -222,6 +222,97 @@ def stream_dedup_doc_ids(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def click_attribution_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    horizon_min: int = 30,
+    watermark: str = "31 days",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: attribute each click to
+    every view by the same user within the preceding ``horizon_min``
+    minutes — the canonical two-stream join (views and clicks arrive as
+    independent streams; Spark buffers both sides in state, and the
+    time-range condition + watermark bound how long view-state must be
+    kept: view rows older than horizon + allowed lateness are evicted).
+
+    Batch parity: with a watermark covering the input's full event-time
+    span nothing is dropped as late, so the drained AvailableNow result
+    equals the batch/DuckDB interval join EXACTLY (test + oracle assert
+    this). Production tightens the watermark to the real lateness bound —
+    correctness of on-time rows is unchanged; state becomes bounded.
+    The join itself shuffles both streams on user_id (equi-key) — the
+    range predicate refines within the key group, never a cross join.
+
+    TZ note: watermarks demand TIMESTAMP (instant), not NTZ. The instant
+    is built as timestamp_micros(ntz-as-UTC epoch) via TZ-free field
+    extraction (logspark.timeutil) — NOT a CAST, whose wall->instant map
+    goes through the session zone and is non-monotonic across DST folds.
+    All comparisons then happen on absolute instants: session-TZ-proof."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="logspark_stream_join_")
+    try:
+        inp = f"{base}/in"
+        events.write.mode("overwrite").parquet(inp)
+        name = f"click_attr_{uuid.uuid4().hex[:8]}"
+        schema = events.schema
+
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(inp)
+            )
+
+        from logspark import timeutil
+
+        instant = F.timestamp_micros(
+            F.expr(timeutil.ntz_epoch_us_sql("ts"))
+        )
+        views = (
+            src()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                "user_id",
+                instant.alias("view_ts"),
+            )
+            .withWatermark("view_ts", watermark)
+        )
+        clicks = (
+            src()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"),
+                instant.alias("click_ts"),
+            )
+            .withWatermark("click_ts", watermark)
+        )
+        joined = views.join(
+            clicks,
+            F.expr(
+                "user_id = c_user_id AND click_ts >= view_ts "
+                f"AND click_ts <= view_ts + interval {horizon_min} minutes"
+            ),
+        ).select("view_id", "click_id", "user_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def start_fanout_stream(
     spark: SparkSession, corpus_path: str, out_dir: str, checkpoint: str
 ):

@@ -227,3 +227,34 @@ def test_fanout_salting_spreads_hot_sink(spark, small_corpus, tmp_path):
         back.groupBy("sink").agg(F.countDistinct("bucket").alias("nb")).collect()
     )
     assert max(r["nb"] for r in buckets) >= 2
+
+
+def test_stream_click_attribution_matches_batch(spark):
+    """Stream-stream interval join == batch semantics, with both boundary
+    cases: click exactly at view+horizon (inclusive) and click before the
+    view (excluded)."""
+    import datetime as dt
+
+    from logspark import streaming
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + 10 * m, 1, "click", 1.0, "{}"),   # +10min: match
+        (3, base + 40 * m, 1, "click", 1.0, "{}"),   # +40min: outside
+        (4, base + 5 * m, 2, "click", 1.0, "{}"),    # before view: no
+        (5, base + 6 * m, 2, "view", 1.0, "{}"),
+        (6, base + 36 * m, 2, "click", 1.0, "{}"),   # exactly +30: inclusive
+        (7, base, 3, "view", 1.0, "{}"),             # other user: no cross
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = sorted(
+        (r["view_id"], r["click_id"], r["user_id"])
+        for r in streaming.click_attribution_stream(spark, df).collect()
+    )
+    assert out == [(1, 2, 1), (5, 6, 2)]
