@@ -71,6 +71,11 @@ HEADLINE = [
     "asof_last_click",
     "range_join_pairs",
     "kmv_distinct_ips",
+    "neardup_clusters",
+    "tfidf_top_terms",
+    "repetition_scores",
+    "train_split",
+    "stratified_sample",
 ]
 
 
