@@ -247,3 +247,70 @@ def bucket_histogram(emb: DataFrame, bits: int = 8) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def ann_recall_eval(
+    emb: DataFrame, n_queries: int = 20, k: int = 10, bits: int = 8
+) -> DataFrame:
+    """Recall@k of the IVF probe against exact brute force, per query —
+    the evaluation harness every ANN index needs before it gates a
+    production retrieval path.
+
+    For each of the first ``n_queries`` vectors (used as queries, self
+    excluded): the exact cosine top-k over the whole corpus vs the IVF
+    top-k restricted to the query's sign bucket; recall = |overlap| /
+    |exact|. Scale shape: queries are a BROADCAST (tiny), the corpus is
+    scanned once and scored against all queries (the exact arm is
+    inherently O(Q*n) — an eval op you run on a query SAMPLE, not a
+    serving path); per-query ranking is a window over q_id. Determinism:
+    ties broken by vec_id, similarities bit-identical cross-engine via
+    the left-assoc fold (see _dot_sql)."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+        .withColumn("qn", F.expr(_norm_sql("qv")))
+        .withColumn("qb", sign_bucket_expr("qv", bits))
+    )
+    b = emb.withColumn("bucket", sign_bucket_expr("embedding", bits)).withColumn(
+        "nb", F.expr(_norm_sql("embedding"))
+    )
+    sim = F.expr(_dot_sql("embedding", "qv")) / (F.col("nb") * F.col("qn"))
+    scored = (
+        b.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "bucket", "qb", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id")
+    )
+    ivf = (
+        scored.filter(F.col("bucket") == F.col("qb"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id")
+    )
+    ne = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    ni = ivf.groupBy("q_id").agg(F.count("*").alias("n_ivf"))
+    nh = (
+        exact.join(ivf, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ne.join(ni, "q_id", "left")
+        .join(nh, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_ivf", F.lit(0)).alias("n_ivf"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )

@@ -193,3 +193,15 @@ def test_bpe_learning_invariants(docs):
         assert row["n_base"] == nc
         assert nw <= row["n_bpe"] <= nc
     assert sum(r["n_bpe"] for r in tc.values()) < sum(r["n_base"] for r in tc.values())
+
+
+def test_ann_recall_eval_invariants(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = simsearch.ann_recall_eval(emb, n_queries=5, k=4).collect()
+    assert len(out) == 5  # one row per query
+    for r in out:
+        # hits are an intersection: bounded by both arms
+        assert 0 <= r["n_hit"] <= min(r["n_exact"], r["n_ivf"])
+        assert r["n_exact"] == 4  # corpus >> k, self excluded
+        assert r["n_ivf"] <= 4
+        assert r["recall"] == r["n_hit"] / r["n_exact"]
