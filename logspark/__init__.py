@@ -19,12 +19,18 @@ Design goals (BASELINE.json north_rule):
 
 Beyond the reference, the training-data operator suite (per-round brief):
 dedup (exact / shingle-MinHash-LSH verified / SimHash Hamming-ball /
-n-gram Jaccard / embedding-cosine), similarity search (cosine top-k, IVF,
-sign-LSH), text analysis (lang-ID, quality, token counts, fingerprints,
-corpus curation, BPE merge training), multimodal plumbing (stub codecs,
-frame-sample/resize plans), temporal operators (as-of join, bucketized
-range join, time buckets, sessionization), and a deterministic KMV
-distinct sketch — every one verified value-exact against a DuckDB oracle.
+n-gram Jaccard / embedding-cosine) with connected-component duplicate-
+cluster resolution, similarity search (cosine top-k, IVF, sign-LSH,
+recall@k ANN evaluation), text analysis (lang-ID, quality + repetition
+scores, TF-IDF, unigram surprisal, token counts, fingerprints, corpus
+curation, BPE merge training), corpus management (deterministic
+train/val/test split, per-source stratified sampling), multimodal
+plumbing (stub codecs, frame-sample/resize plans), temporal operators
+(as-of join, bucketized range join, time buckets, sessionization,
+stream-stream interval join), relational breadth (pivot, set operators,
+NTILE, exact nearest-rank percentiles, JSON extraction, ordered sequence
+construction), and a deterministic KMV distinct sketch — every one
+verified value-exact against a DuckDB oracle.
 """
 
 __version__ = "0.1.0"
