@@ -666,6 +666,93 @@ def stratified_sample(docs: DataFrame, cap: int = 50) -> DataFrame:
     )
 
 
+def decontaminate(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Benchmark decontamination: train-split documents that share at
+    least one k-word shingle with any test-split document (the classic
+    n-gram-overlap contamination check run before every pretraining job;
+    production pipelines use k of 8-13 — k=5 here because the synthetic
+    corpus averages ~54 words/doc).
+
+    Returns one row per contaminated train doc:
+      doc_id, n_shingles_hit (distinct contaminating shingles),
+      n_test_docs (distinct test docs it collides with).
+
+    Scale shape: the held-out/benchmark side is tiny relative to a 100 TB
+    train corpus, so its (test_doc, shingle) pairs are BROADCAST — the
+    contamination check is a map-side hash join over the streamed train
+    shingles (no shuffle of the big side); only the per-hit rows (rare)
+    reach the final small groupBy. Reference analog: the validity rules
+    that exclude known-bad sources before ingest (lib_validity checks) —
+    here lifted to content-level overlap."""
+    split = train_split(docs).select("doc_id", "split")
+    sh = shingles_df(docs, k=k).distinct().join(split, "doc_id")
+    test_sh = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    train_sh = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
+    hits = train_sh.join(F.broadcast(test_sh), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles_hit"),
+        F.countDistinct("test_doc").alias("n_test_docs"),
+    )
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    num_perms: int = NUM_PERMS,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Continuous-crawl dedup: a NEW batch checked against a HISTORICAL
+    corpus index (not self-join dedup — the index side is precomputed and
+    stored in production; a new crawl snapshot only pays banding for its
+    own rows plus an equi-join against the index). History/batch split is
+    deterministic here (even/odd doc_id) so the oracle reproduces it.
+
+    Returns verified (new_doc, hist_doc, jaccard >= threshold) matches —
+    the drop-list join key for the ingest filter.
+
+    Scale shape: ONE signature pass over the union (sf-test convenience;
+    at scale the history banding is a stored table), then a (band,
+    band_key) equi-join — batch-sized left against index-sized right,
+    selective keys (128 perms / 16 bands, s-curve ~0.71) — and a
+    candidate-keyed exact-Jaccard verify identical to
+    minhash_neardup_verified. No O(n^2) stage; index growth only widens
+    the hash join's build side, which shuffles on selective band keys."""
+    sig = minhash_signatures(docs, num_perms)
+    banded = lsh_bands(sig, rows_per_band)
+    nb = banded.filter(F.col("doc_id") % 2 == 1)
+    hb = banded.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("hist_doc"), "band", "band_key"
+    )
+    cand = (
+        nb.join(hb, ["band", "band_key"])
+        .select(F.col("doc_id").alias("new_doc"), "hist_doc")
+        .distinct()
+    )
+    w = shingles_df(docs).distinct()
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    wa = w.select(F.col("doc_id").alias("new_doc"), "shingle")
+    wb = w.select(F.col("doc_id").alias("hist_doc"), "shingle")
+    inter = (
+        cand.join(wa, "new_doc")
+        .join(wb, ["hist_doc", "shingle"])
+        .groupBy("new_doc", "hist_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("nw").alias("na"))
+    sb = sizes.select(
+        F.col("doc_id").alias("hist_doc"), F.col("nw").alias("nb")
+    )
+    j = inter.join(sa, "new_doc").join(sb, "hist_doc")
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    return j.select(
+        "new_doc",
+        "hist_doc",
+        (F.col("inter").cast("double") / uni).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Order-insensitive bag fingerprint: sum + count of portable word
     hashes (rolling-hash analog that parallelizes without positions).

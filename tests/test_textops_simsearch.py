@@ -171,6 +171,41 @@ def test_neardup_exact_finds_identical_vectors(spark):
     assert abs(out[0]["cosine"] - 1.0) < 1e-12
 
 
+def test_incremental_dedup_matches_history(docs):
+    # doc 1 (odd -> new batch) is an exact dup of doc 2 (even -> history)
+    out = {
+        (r["new_doc"], r["hist_doc"]): r["jaccard"]
+        for r in textops.incremental_dedup(docs).collect()
+    }
+    assert out.get((1, 2)) == 1.0
+    for n, h in out:
+        assert n % 2 == 1 and h % 2 == 0
+
+
+def test_decontaminate_detects_overlap(spark):
+    # pick real train/test doc_ids from the deterministic split, then give
+    # them one shared 5-gram — exactly that train doc must be flagged
+    split = {
+        r["doc_id"]: r["split"]
+        for r in textops.train_split(
+            spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        ).collect()
+    }
+    tr = next(i for i in range(200) if split[i] == "train")
+    te = next(i for i in range(200) if split[i] == "test")
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (tr, shared + " zeta", "en", "s", 1),
+            (te, "eta " + shared, "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = textops.decontaminate(docs).collect()
+    assert [r["doc_id"] for r in out] == [tr]
+    assert out[0]["n_shingles_hit"] == 1 and out[0]["n_test_docs"] == 1
+
+
 def test_bpe_learning_invariants(docs):
     """Corpus-driven BPE merges: step-ordered, merged == pair sans space,
     counts non-increasing; post-merge token counts land between
