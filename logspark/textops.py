@@ -617,6 +617,23 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def with_split(docs: DataFrame) -> DataFrame:
+    """Append the deterministic split bucket + label as a NARROW map (pure
+    function of doc_id — never a join): any consumer that needs the split
+    computes it in place, so at 100 TB no corpus-sized split table is ever
+    joined or broadcast."""
+    return docs.withColumn(
+        "dg", F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    ).withColumn(
+        "bucket", F.expr(ph.hex32_from_digest_sql("dg")) % 1000
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < 800, "train")
+        .when(F.col("bucket") < 900, "val")
+        .otherwise("test"),
+    )
+
+
 def train_split(docs: DataFrame) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment from the portable
     hash of doc_id — the reproducible-split primitive of a training-data
@@ -625,17 +642,7 @@ def train_split(docs: DataFrame) -> DataFrame:
 
     Scale shape: pure per-row map (narrow, no shuffle); the split column
     is also the natural partition key for a bucketed write."""
-    d = docs.withColumn(
-        "dg", F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
-    ).withColumn("bucket", F.expr(ph.hex32_from_digest_sql("dg")) % 1000)
-    return d.select(
-        "doc_id",
-        "bucket",
-        F.when(F.col("bucket") < 800, "train")
-        .when(F.col("bucket") < 900, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return with_split(docs).select("doc_id", "bucket", "split")
 
 
 def stratified_sample(docs: DataFrame, cap: int = 50) -> DataFrame:
@@ -683,13 +690,18 @@ def decontaminate(docs: DataFrame, k: int = 5) -> DataFrame:
     shingles (no shuffle of the big side); only the per-hit rows (rare)
     reach the final small groupBy. Reference analog: the validity rules
     that exclude known-bad sources before ingest (lib_validity checks) —
-    here lifted to content-level overlap."""
-    split = train_split(docs).select("doc_id", "split")
-    sh = shingles_df(docs, k=k).distinct().join(split, "doc_id")
-    test_sh = sh.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("test_doc"), "shingle"
-    )
-    train_sh = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
+    here lifted to content-level overlap.
+
+    The split label is computed IN PLACE on each scan branch (with_split,
+    a pure doc_id map) — never joined: a corpus-sized doc_id->split join
+    (the naive formulation) would broadcast or shuffle the whole corpus at
+    scale for a value derivable per-row."""
+    d = with_split(docs)
+    test_sh = shingles_df(d.filter(F.col("split") == "test"), k=k).distinct(
+    ).select(F.col("doc_id").alias("test_doc"), "shingle")
+    train_sh = shingles_df(
+        d.filter(F.col("split") == "train"), k=k
+    ).distinct()
     hits = train_sh.join(F.broadcast(test_sh), "shingle")
     return hits.groupBy("doc_id").agg(
         F.countDistinct("shingle").alias("n_shingles_hit"),
