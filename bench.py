@@ -67,6 +67,9 @@ HEADLINE = [
     "simhash",
     "simhash_neardup",
     "curate_corpus",
+    "sequence_pack",
+    "decontaminate",
+    "incremental_dedup",
     "token_counts",
     "lang_id",
     "quality_scores",

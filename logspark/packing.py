@@ -1,0 +1,91 @@
+"""Fixed-length training-sequence packing over the tokenized corpus.
+
+The last mile of a pretraining data pipeline: documents (variable-length
+token arrays) are packed, in deterministic corpus order, into fixed-length
+training sequences of ``seq_len`` tokens. A document's bin is decided by
+the number of tokens that precede it — a global prefix sum over the doc
+order.
+
+Scale design — the prefix sum is the whole problem. The naive form is ONE
+global ordered window (``SUM(n_tok) OVER (ORDER BY d)``), which Spark
+executes as a single-partition sort: a non-starter at 10^12 rows. We
+compute the identical result as a two-level prefix sum:
+
+  1. per-chunk totals   — groupBy ``d div chunk`` (table shrinks by the
+     chunk factor; production chunk ~1M rows -> a ~10^6-row totals table
+     from 10^12 docs),
+  2. chunk prefix       — ordered cumsum over the SMALL totals table (the
+     only ordered window, over metadata-sized input),
+  3. broadcast back     — map-side join, no shuffle of the corpus,
+  4. intra-chunk cumsum — window PARTITIONED by chunk (bounded partitions,
+     shuffles on a balanced key).
+
+Every number is integer math, so the DuckDB oracle (plain global-window
+form) matches bit-for-bit; ``pack_checksum`` makes the comparison
+order-sensitive: Σ offset_in_bin × tok_sum changes if any document lands
+at a different offset.
+
+Reference parity: generalizes the reference's sequential per-file offset
+bookkeeping (progress summaries, /root/reference/libs/lib_summary.py:60-74)
+from line space to token space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_bins(
+    corpus: DataFrame, seq_len: int = 2048, chunk: int = 8192
+) -> DataFrame:
+    """Greedy in-order packing: doc d's bin = (tokens before d) div seq_len
+    (a doc straddling a boundary belongs to the bin where it starts).
+
+    Input: (doc_id, tokens:array<int>, n_tok) with doc_id = 'doc-' || d.
+    Output per bin: n_docs, total_tokens, first/last doc, pack_checksum
+    (Σ offset-in-bin × token-sum — order-sensitive evidence).
+    """
+    d = F.expr("CAST(substr(doc_id, 5) AS BIGINT)")
+    c = corpus.select(
+        "doc_id",
+        d.alias("d"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    ).withColumn("cd", F.expr(f"d div {chunk}"))
+
+    totals = c.groupBy("cd").agg(F.sum("n_tok").alias("chunk_tok"))
+    w_chunks = Window.orderBy("cd").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "cd",
+        F.coalesce(F.sum("chunk_tok").over(w_chunks), F.lit(0))
+        .cast("long")
+        .alias("chunk_off"),
+    )
+
+    w_intra = (
+        Window.partitionBy("cd")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        c.join(F.broadcast(prefix), "cd")
+        .withColumn(
+            "off",
+            F.col("chunk_off")
+            + F.coalesce(F.sum("n_tok").over(w_intra), F.lit(0)).cast("long"),
+        )
+        .withColumn("bin_id", F.expr(f"off div {seq_len}"))
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(
+            (F.col("off") - F.col("bin_id") * seq_len) * F.col("tok_sum")
+        ).alias("pack_checksum"),
+    )
