@@ -222,6 +222,67 @@ def stream_dedup_doc_ids(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def stream_incremental_dedup(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """STREAM-STATIC join (the one streaming join class the suite didn't
+    yet exercise): new-crawl documents arrive as a stream of minhash BAND
+    KEYS (in production the ingest edge emits band keys alongside each
+    tokenized doc); the historical corpus's band index is a STATIC table
+    joined into the streaming plan — re-read per micro-batch, no stream
+    state for the join itself. Matches textops.incremental_dedup's
+    candidate stage (even doc_id = history, odd = new) so the DuckDB
+    oracle is the same incremental cand CTE.
+
+    dropDuplicates carries (new_doc, hist_doc) dedup state across
+    micro-batches — bounded by the candidate-pair count, which the
+    selective banding keeps near-linear; unbounded deployments would use
+    dropDuplicatesWithinWatermark keyed on ingest time."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from logspark import textops
+
+    banded = textops.lsh_bands(
+        textops.minhash_signatures(docs, textops.NUM_PERMS),
+        textops.LSH_ROWS_PER_BAND,
+    )
+    hist = banded.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("hist_doc"), "band", "band_key"
+    )
+    new_bands = banded.filter(F.col("doc_id") % 2 == 1)
+
+    base = tempfile.mkdtemp(prefix="logspark_stream_ssj_")
+    try:
+        inp = f"{base}/in"
+        new_bands.write.mode("overwrite").parquet(inp)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("band", T.IntegerType(), True),
+                T.StructField("band_key", T.StringType(), True),
+            ]
+        )
+        name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+        stream = spark.readStream.schema(schema).parquet(inp)
+        joined = (
+            stream.join(hist, ["band", "band_key"])
+            .select(F.col("doc_id").alias("new_doc"), "hist_doc")
+            .dropDuplicates(["new_doc", "hist_doc"])
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def click_attribution_stream(
     spark: SparkSession,
     events: DataFrame,
