@@ -2,11 +2,15 @@
 
 Treats image/audio/video as ``binary`` columns with a metadata struct, per
 the round brief. The Spark-side plumbing — schema, partitioning, Arrow batch
-shape, UDF signatures — is real and tested; the actual codec calls are
-STUBBED (this container has no image/audio libraries): ``decode_images``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by payload bytes) produces stable
-features so the pipeline around it is fully exercisable.
+shape, UDF signatures — is real and tested. Codec status: COMPRESSED codecs
+(JPEG/audio/video) are stubbed (no PIL/librosa/ffmpeg in this container —
+``decode_and_featurize`` raises NotImplementedError unless ``fake=True``),
+but the uncompressed-image path is REAL: ``synth_ppm_images`` emits genuine
+binary P6 PPM files and ``decode_ppm_images`` parses the header and pixel
+buffer with numpy alone, computes channel statistics and executes a
+nearest-neighbor resize — verified bit-exact against a closed-form DuckDB
+oracle (the pixel formula is analytic, so a stride/header/resize bug
+cannot hide).
 
 Scale design: payloads never pass through Python row-at-a-time — decode /
 feature-extract run in ``mapInPandas`` over Arrow batches, metadata-only
@@ -111,6 +115,119 @@ def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
         F.pmod(F.xxhash64("doc_id") + F.coalesce(F.col("meta.nbytes"), F.lit(0)), F.lit(64))
     )
     return balanced.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec path: PPM (P6) — an uncompressed format decodable with
+# numpy alone, so this container CAN run a genuine decode (not a stub).
+# Pixel bytes follow a closed-form formula of (doc_id, flat index), so the
+# DuckDB oracle recomputes the decoded statistics analytically: any header
+# mis-parse, stride bug or resize off-by-one mismatches the oracle.
+# ---------------------------------------------------------------------------
+
+PPM_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("resized_r_checksum", T.LongType()),
+    ]
+)
+
+
+def synth_ppm_images(docs: DataFrame) -> DataFrame:
+    """One REAL binary P6 image per image-kind doc (doc_id % 3 == 0):
+    header ``P6\\n{w} {h}\\n255\\n`` + raw RGB rows. Dimensions and every
+    pixel byte are pure functions of doc_id (byte j = (7d + 31j) % 256),
+    mirroring the ingest edge that hands the pipeline opaque bytes."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 13 + 4, d % 11 + 3
+                flat = (7 * d + 31 * np.arange(3 * w * h, dtype=np.int64)) % 256
+                payload = (
+                    f"P6\n{w} {h}\n255\n".encode("ascii")
+                    + flat.astype(np.uint8).tobytes()
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    imgs = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return imgs.mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def decode_ppm_images(media: DataFrame, resize_to: int = 4) -> DataFrame:
+    """REAL decode + resize over Arrow batches (mapInPandas, numpy only):
+    parse the P6 header (magic, dims, maxval), reinterpret the raw buffer
+    as (h, w, 3) uint8, emit per-channel means, then execute a genuine
+    nearest-neighbor resize to resize_to x resize_to and checksum its red
+    channel. Exact integer sums with one final int/int IEEE division, so
+    the DuckDB closed-form oracle matches bit-for-bit."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                # header: magic + 3 whitespace-separated ints, then one
+                # whitespace byte, then the raw pixel block
+                if not buf.startswith(b"P6"):
+                    raise ValueError(f"not a P6 ppm for doc {d}")
+                toks, i, tok = [], 2, b""
+                while len(toks) < 3:
+                    c = buf[i : i + 1]
+                    i += 1
+                    if c.isspace():
+                        if tok:
+                            toks.append(int(tok))
+                            tok = b""
+                    else:
+                        tok += c
+                w, h, maxval = toks
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                px = np.frombuffer(buf, dtype=np.uint8, count=3 * w * h, offset=i)
+                img = px.reshape(h, w, 3).astype(np.int64)
+                sums = img.sum(axis=(0, 1))
+                n = w * h
+                ys = (np.arange(resize_to) * h) // resize_to
+                xs = (np.arange(resize_to) * w) // resize_to
+                resized = img[np.ix_(ys, xs)]
+                out.append(
+                    (
+                        int(d),
+                        w,
+                        h,
+                        float(int(sums[0])) / n,
+                        float(int(sums[1])) / n,
+                        float(int(sums[2])) / n,
+                        int(resized[:, :, 0].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "resized_r_checksum",
+                ],
+            )
+
+    return media.mapInPandas(decode, PPM_DECODE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, max_frames: int = 8) -> DataFrame:

@@ -124,6 +124,26 @@ def test_multimodal_stub_and_stats(spark, tmp_path):
         multimodal.decode_and_featurize(media, fake=False).count()
 
 
+def test_ppm_decode_real_roundtrip(spark):
+    # hand-built 2x1 P6: pixels (1,2,3) and (250,251,252)
+    payload = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = multimodal.decode_ppm_images(media).collect()[0]
+    assert (r["width"], r["height"]) == (2, 1)
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (125.5, 126.5, 127.5)
+    # 4x4 nearest-neighbor over a 2x1 image: cols 0,0,1,1 x 4 rows of row 0
+    assert r["resized_r_checksum"] == 4 * (1 + 1 + 250 + 250)
+
+    # hostile payloads fail loudly, not silently
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"P5\n1 1\n255\n\x00"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a P6|ValueError"):
+        multimodal.decode_ppm_images(bad).collect()
+
+
 def test_streaming_batch_parity(spark, tmp_path):
     from logspark import route, streaming
 
