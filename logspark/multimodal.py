@@ -5,11 +5,14 @@ the round brief. The Spark-side plumbing — schema, partitioning, Arrow batch
 shape, UDF signatures — is real and tested. Codec status: COMPRESSED codecs
 (JPEG/audio/video) are stubbed (no PIL/librosa/ffmpeg in this container —
 ``decode_and_featurize`` raises NotImplementedError unless ``fake=True``),
-but the uncompressed-image path is REAL: ``synth_ppm_images`` emits genuine
-binary P6 PPM files and ``decode_ppm_images`` parses the header and pixel
-buffer with numpy alone, computes channel statistics and executes a
-nearest-neighbor resize — verified bit-exact against a closed-form DuckDB
-oracle (the pixel formula is analytic, so a stride/header/resize bug
+but the UNCOMPRESSED paths are REAL: ``synth_ppm_images`` /
+``decode_ppm_images`` emit and parse genuine binary P6 PPM files (numpy
+header parse + buffer reshape, channel stats, an executed nearest-neighbor
+resize) and ``synth_wav_audio`` / ``decode_wav_audio`` emit and parse
+genuine PCM mono 16-bit RIFF/WAVE files (chunk-list walker that skips
+ancillary chunks, little-endian int16 samples, exact amplitude stats).
+Both are verified bit-exact against closed-form DuckDB oracles (the
+pixel/sample formulas are analytic, so a stride/header/alignment bug
 cannot hide).
 
 Scale design: payloads never pass through Python row-at-a-time — decode /
@@ -228,6 +231,114 @@ def decode_ppm_images(media: DataFrame, resize_to: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(decode, PPM_DECODE_SCHEMA)
+
+
+WAV_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("max_amp", T.IntegerType()),
+    ]
+)
+
+
+def synth_wav_audio(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """One REAL RIFF/WAVE file (PCM mono 16-bit) per audio-kind doc
+    (doc_id % 3 == 1): full header chunk structure + little-endian int16
+    samples. Sample i of doc d = ((11d + 17i) % 4096) - 2048 — analytic,
+    so the decode oracle is closed-form."""
+    import struct
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 800 + 100
+                samples = (
+                    (11 * d + 17 * np.arange(n, dtype=np.int64)) % 4096 - 2048
+                ).astype("<i2")
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH",
+                        16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                rows.append((d, hdr + data))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    auds = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return auds.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_wav_audio(media: DataFrame) -> DataFrame:
+    """REAL WAV decode (numpy + struct only): walk the RIFF chunk list
+    (fmt may be followed by ancillary chunks before data), validate PCM
+    mono 16-bit, reinterpret the data chunk as little-endian int16, emit
+    rate/duration and exact integer amplitude stats."""
+    import struct
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError(f"not a RIFF/WAVE file for doc {d}")
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    (sz,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    body = buf[pos + 8 : pos + 8 + sz]
+                    if cid == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", body[:16])
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+                if fmt is None or data is None:
+                    raise ValueError(f"missing fmt/data chunk for doc {d}")
+                audio_format, channels, rate, _, _, bits = fmt
+                if (audio_format, channels, bits) != (1, 1, 16):
+                    raise ValueError(f"unsupported wav encoding {fmt}")
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = len(samples)
+                out.append(
+                    (
+                        int(d),
+                        rate,
+                        n,
+                        n * 1000 // rate,
+                        float(int(samples.sum())) / n,
+                        int(samples.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "mean_amp",
+                    "max_amp",
+                ],
+            )
+
+    return media.mapInPandas(decode, WAV_DECODE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, max_frames: int = 8) -> DataFrame:

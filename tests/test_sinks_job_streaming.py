@@ -144,6 +144,32 @@ def test_ppm_decode_real_roundtrip(spark):
         multimodal.decode_ppm_images(bad).collect()
 
 
+def test_wav_decode_real_roundtrip(spark):
+    import struct
+
+    # hand-built PCM mono 16-bit WAV with an ancillary LIST chunk BEFORE
+    # data (the chunk walker must skip it), samples [-3, 0, 7, 100]
+    samples = struct.pack("<4h", -3, 0, 7, 100)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 12 + 8 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    media = spark.createDataFrame(
+        [(9, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = multimodal.decode_wav_audio(media).collect()[0]
+    assert (r["sample_rate"], r["n_samples"], r["duration_ms"]) == (8000, 4, 0)
+    assert r["mean_amp"] == 26.0 and r["max_amp"] == 100
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxxAIFF"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a RIFF|ValueError"):
+        multimodal.decode_wav_audio(bad).collect()
+
+
 def test_streaming_batch_parity(spark, tmp_path):
     from logspark import route, streaming
 
