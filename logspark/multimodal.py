@@ -10,10 +10,12 @@ but the UNCOMPRESSED paths are REAL: ``synth_ppm_images`` /
 header parse + buffer reshape, channel stats, an executed nearest-neighbor
 resize) and ``synth_wav_audio`` / ``decode_wav_audio`` emit and parse
 genuine PCM mono 16-bit RIFF/WAVE files (chunk-list walker that skips
-ancillary chunks, little-endian int16 samples, exact amplitude stats).
-Both are verified bit-exact against closed-form DuckDB oracles (the
-pixel/sample formulas are analytic, so a stride/header/alignment bug
-cannot hide).
+ancillary chunks, little-endian int16 samples, exact amplitude stats),
+and ``synth_y4m_video`` / ``decode_y4m_video`` emit and parse genuine
+YUV4MPEG2 clips (header tags, FRAME-marker walk, uniform frame sampling
+executed over decoded luma planes). All three are verified bit-exact
+against closed-form DuckDB oracles (the pixel/sample formulas are
+analytic, so a stride/header/alignment bug cannot hide).
 
 Scale design: payloads never pass through Python row-at-a-time — decode /
 feature-extract run in ``mapInPandas`` over Arrow batches, metadata-only
@@ -339,6 +341,108 @@ def decode_wav_audio(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, WAV_DECODE_SCHEMA)
+
+
+Y4M_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("sampled_luma_sum", T.LongType()),
+    ]
+)
+
+
+def synth_y4m_video(docs: DataFrame) -> DataFrame:
+    """One REAL YUV4MPEG2 (C444) clip per video-kind doc (doc_id % 3 == 2):
+    plain-text stream header, then per frame a ``FRAME\\n`` marker + Y,U,V
+    planes. Luma byte j of frame f for doc d = (13d + 7f + 5j) % 256 —
+    analytic, so frame-sampled decode stats have a closed-form oracle."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 8 + 4, d % 6 + 3
+                nf = d % 12 + 2
+                parts = [
+                    f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()
+                ]
+                npix = w * h
+                for f in range(nf):
+                    y = (13 * d + 7 * f + 5 * np.arange(npix, dtype=np.int64)) % 256
+                    u = np.full(npix, 128, dtype=np.int64)
+                    v = np.full(npix, 128, dtype=np.int64)
+                    parts.append(
+                        b"FRAME\n"
+                        + y.astype(np.uint8).tobytes()
+                        + u.astype(np.uint8).tobytes()
+                        + v.astype(np.uint8).tobytes()
+                    )
+                rows.append((d, b"".join(parts)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    vids = docs.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    return vids.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_y4m_video(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """REAL video decode + frame sampling (numpy only): parse the
+    YUV4MPEG2 stream header tags (W/H/C), walk the FRAME markers, then
+    EXECUTE the uniform frame-sample schedule (frame_sample_plan's
+    formula: k-th sampled index = floor(k * n_frames / n_sampled)) and sum
+    the luma plane of exactly the sampled frames."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                nl = buf.index(b"\n")
+                hdr = buf[:nl].split(b" ")
+                if hdr[0] != b"YUV4MPEG2":
+                    raise ValueError(f"not a y4m stream for doc {d}")
+                tags = {t[:1]: t[1:] for t in hdr[1:]}
+                w, h = int(tags[b"W"]), int(tags[b"H"])
+                if tags.get(b"C", b"444") != b"444":
+                    raise ValueError("only C444 supported")
+                npix = w * h
+                frame_bytes = 3 * npix
+                frames = []
+                pos = nl + 1
+                while pos < len(buf):
+                    fnl = buf.index(b"\n", pos)
+                    if buf[pos:fnl].split(b" ")[0] != b"FRAME":
+                        raise ValueError(f"bad frame marker for doc {d}")
+                    frames.append(
+                        np.frombuffer(
+                            buf, dtype=np.uint8, count=npix, offset=fnl + 1
+                        ).astype(np.int64)
+                    )
+                    pos = fnl + 1 + frame_bytes
+                nf = len(frames)
+                ns = min(max_frames, nf)
+                idx = [(k * nf) // ns for k in range(ns)]
+                luma = sum(int(frames[i].sum()) for i in idx)
+                out.append((int(d), w, h, nf, ns, luma))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "n_sampled",
+                    "sampled_luma_sum",
+                ],
+            )
+
+    return media.mapInPandas(decode, Y4M_DECODE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, max_frames: int = 8) -> DataFrame:

@@ -170,6 +170,31 @@ def test_wav_decode_real_roundtrip(spark):
         multimodal.decode_wav_audio(bad).collect()
 
 
+def test_y4m_decode_real_roundtrip(spark):
+    import numpy as np
+
+    # hand-built 2x2 C444 clip, 2 frames with known luma planes
+    y0, y1 = bytes([10, 20, 30, 40]), bytes([1, 2, 3, 4])
+    uv = bytes([128] * 4)
+    payload = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n"
+        + b"FRAME\n" + y0 + uv + uv
+        + b"FRAME\n" + y1 + uv + uv
+    )
+    media = spark.createDataFrame(
+        [(5, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = multimodal.decode_y4m_video(media, max_frames=4).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"], r["n_sampled"]) == (2, 2, 2, 2)
+    assert r["sampled_luma_sum"] == sum(y0) + sum(y1)
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"MPEG4 nope\n"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a y4m|ValueError"):
+        multimodal.decode_y4m_video(bad).collect()
+
+
 def test_streaming_batch_parity(spark, tmp_path):
     from logspark import route, streaming
 
