@@ -314,3 +314,57 @@ def ann_recall_eval(
             ).alias("recall"),
         )
     )
+
+
+def _dist2_sql(a: str, b: str) -> str:
+    """Squared L2 distance as the same left fold as _dot_sql (bit-identical
+    association order vs the DuckDB unrolled form)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def duck_dist2_sql(a: str, b: str, dims: int = DIMS) -> str:
+    terms = [
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)) * "
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dims + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8) -> DataFrame:
+    """One k-means ASSIGN step — the semantic-clustering primitive behind
+    embedding-based corpus curation (cluster-balanced sampling, semantic
+    dedup): deterministic centroids (vec_id < k), every vector assigned to
+    its nearest centroid by squared L2 (ties broken by centroid id).
+
+    Scale shape: centroids are BROADCAST (k rows), so the k-way distance
+    fan-out happens map-side with no shuffle; the per-vector argmin is a
+    min(struct) aggregate whose map-side partials collapse the k candidate
+    rows back to one per vector BEFORE the exchange (the joined rows for a
+    vector are co-partitioned by construction). The cluster-stats output
+    is a second, k-row-sized aggregate. Returns (cid, n_members, min_vec,
+    max_vec). The UPDATE step (new centroids = cluster means) is a float
+    sum whose order Spark does not fix — at scale run it as a scaled-
+    integer sum (see value_percentiles notes) or accept tolerance; this
+    operator verifies the exactly-reproducible half."""
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    j = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.expr(_dist2_sql("embedding", "cvec")).alias("dist2")
+    )
+    best = (
+        j.groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
+    )
+    return best.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
