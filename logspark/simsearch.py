@@ -368,3 +368,47 @@ def kmeans_assign(emb: DataFrame, k: int = 8) -> DataFrame:
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
     )
+
+
+def kmeans_update_fixedpoint(
+    emb: DataFrame, k: int = 8, dims_out: int = 4, scale: int = 1 << 20
+) -> DataFrame:
+    """The k-means UPDATE step made exactly reproducible: per-cluster
+    centroid accumulation in FIXED POINT (each float coordinate is floored
+    to a scaled BIGINT before summing), so the sums are integer — order-
+    free, identical at any parallelism / partitioning — where a naive
+    float SUM depends on reduction order. The consumer divides by
+    n_members to get the new centroid at ~1e-6 precision (scale 2^20).
+    Emits the first ``dims_out`` coordinate sums (narrow demo output; the
+    full-width version is the same expression over all dims).
+
+    Scale shape: the assign join is the broadcast fan-out of kmeans_assign
+    with per-vector argmin carried WITH its embedding (functionally
+    dependent on the group key, so first() is value-deterministic); the
+    update is one k-row aggregate."""
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    j = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.expr(_dist2_sql("embedding", "cvec")).alias("dist2"),
+    )
+    best = (
+        j.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist2", "cid")).alias("b"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", F.col("b.cid").alias("cid"), "embedding")
+    )
+    sums = [
+        F.sum(
+            F.expr(
+                f"CAST(floor(CAST(embedding[{d}] AS DOUBLE) * {scale}) AS BIGINT)"
+            )
+        ).alias(f"s{d}")
+        for d in range(dims_out)
+    ]
+    return best.groupBy("cid").agg(F.count("*").alias("n_members"), *sums)
