@@ -175,3 +175,44 @@ def test_job_stats_readback_prunes_on_part_id(spark, small_corpus, tmp_path_fact
     assert m and "part_id" in m.group(1), txt
     m = re.search(r"ReadSchema: ([^\n]*)", txt)
     assert m and "route" in m.group(1) and "doc_id" not in m.group(1), txt
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The contamination check must be a broadcast hash join on shingle
+    (benchmark side tiny at scale) with the split predicate computed in
+    place — no sort-merge join, no corpus-sized doc_id->split join."""
+    from logspark import textops
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h", "en", "s", 15) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    txt = plan_text(textops.decontaminate(docs))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_pack_bins_no_global_row_sort(spark):
+    """The packing prefix sum must never globally sort the corpus: the
+    intra-chunk window is hash-partitioned on the chunk key, and the only
+    single-partition exchange feeds the tiny chunk-totals cumsum."""
+    from logspark import gen_sql, packing, pipeline
+
+    corpus = pipeline.build_corpus_df(spark, gen_sql.rel_from_range(500))
+    txt = plan_text(packing.pack_bins(corpus, seq_len=512, chunk=64))
+    assert "hashpartitioning(cd" in txt
+    # exactly one single-partition exchange — the chunk-totals branch
+    assert txt.count("SinglePartition") == 1
+    assert "BroadcastHashJoin" in txt  # prefix joined back map-side
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, small_corpus):
+    from logspark import simsearch
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7)] * simsearch.DIMS, 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    txt = plan_text(simsearch.kmeans_assign(emb, k=4))
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
