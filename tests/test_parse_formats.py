@@ -143,3 +143,27 @@ def test_fixture(parsed, name, source, line, expected):
     got = parsed[name]
     for k, v in expected.items():
         assert got[k] == v, f"{name}.{k}: got {got[k]!r} want {v!r}"
+
+
+def test_grok_compile_and_extract(spark):
+    from logspark import grok
+
+    regex, fields = grok.compile_grok("%{IP:ip} x.y %{NUMBER:n}")
+    assert fields == ["ip", "n"]
+    # literal dots escaped, unnamed groups absent
+    assert r"x\.y" in regex and regex.count("(") - regex.count("(?:") == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown grok"):
+        grok.compile_grok("%{NOPE:x}")
+
+    df = spark.createDataFrame(
+        [("10.0.0.1 x.y 42",), ("garbage",)], "line string"
+    )
+    rows = {
+        r["line"]: (r["ip"], r["n"])
+        for r in grok.grok_extract(df, "%{IP:ip} x.y %{NUMBER:n}").collect()
+    }
+    assert rows["10.0.0.1 x.y 42"] == ("10.0.0.1", "42")
+    assert rows["garbage"] == ("", "")  # anchored non-match -> empties
