@@ -76,6 +76,10 @@ HEADLINE = [
     "cosine_topk",
     "ivf_ann_topk",
     "embedding_neardup",
+    "kmeans_assign",
+    "multimodal_decode",
+    "token_vocab_stats",
+    "grok_ncsa_counts",
     "asof_last_click",
     "range_join_pairs",
     "kmv_distinct_ips",
