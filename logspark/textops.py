@@ -578,6 +578,49 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram CONDITIONAL surprisal -ln(c(w1 w2)/c(w1))
+    — the 2-gram LM upgrade of unigram_surprisal (catches locally-fluent
+    but rare-transition text that unigram stats miss). Same float-parity
+    design: each term floored to integer micro-nats before the per-doc
+    sum, so aggregation order cannot change the value.
+
+    Scale shape: the bigram and unigram count tables are vocabulary-sized
+    (|V| and up to |V|^2) and broadcast while they fit; at web scale flip
+    the bigram join to a plain shuffle equi-join on the bigram key — the
+    shape stays a counts-join + one per-doc aggregate either way."""
+    w = words_df(docs)
+    wfreq = w.groupBy("word").agg(F.count("*").alias("wfreq"))
+    bg = shingles_df(docs, k=2).withColumn(
+        "w1", F.split(F.col("shingle"), " ").getItem(0)
+    )
+    bfreq = bg.groupBy("shingle").agg(F.count("*").alias("bfreq"))
+    unats = F.floor(
+        -F.log(F.col("bfreq").cast("double") / F.col("wfreq"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    per_bg = (
+        bg.join(F.broadcast(bfreq), "shingle")
+        .join(F.broadcast(wfreq), F.col("w1") == F.col("word"))
+        .select("doc_id", unats.alias("unats"))
+    )
+    return (
+        per_bg.groupBy("doc_id")
+        .agg(
+            F.sum("unats").alias("surprisal_sum"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "surprisal_sum",
+            "n_bigrams",
+            (
+                F.col("surprisal_sum").cast("double") / F.col("n_bigrams")
+            ).alias("mean_surprisal_unat"),
+        )
+    )
+
+
 def repetition_scores(docs: DataFrame) -> DataFrame:
     """Per-document repetition signals (Gopher-style quality rules):
     distinct-word ratio and top-bigram share — templated/spammy text has a
