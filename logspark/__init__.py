@@ -27,10 +27,18 @@ curation, BPE merge training), corpus management (deterministic
 train/val/test split, per-source stratified sampling), multimodal
 plumbing (stub codecs, frame-sample/resize plans), temporal operators
 (as-of join, bucketized range join, time buckets, sessionization,
-stream-stream interval join), relational breadth (pivot, set operators,
-NTILE, exact nearest-rank percentiles, JSON extraction, ordered sequence
-construction), and a deterministic KMV distinct sketch — every one
-verified value-exact against a DuckDB oracle.
+stream-stream interval join, stream-static band-index join), relational
+breadth (pivot, set operators, ROLLUP/CUBE with GROUPING(), NTILE, exact
+nearest-rank percentiles, JSON extraction, ordered sequence construction,
+FULL OUTER snapshot diff, one-scan column profiling), training-data
+delivery (benchmark decontamination, incremental new-vs-history dedup,
+fixed-length sequence packing via a two-level prefix sum, token-vocab
+histograms, bigram-LM surprisal, hash-sharded export with verifiable
+manifests, a full fixed-point k-means iteration over embeddings), REAL
+pure-numpy decoders for uncompressed image/audio/video formats (P6 PPM,
+PCM WAV, YUV4MPEG2 — each against a closed-form oracle), a grok template
+compiler, and a deterministic KMV distinct sketch — every one verified
+value-exact against a DuckDB oracle.
 """
 
 __version__ = "0.1.0"
