@@ -33,10 +33,17 @@ def _naive_pack(corpus, seq_len):
     )
 
 
-def test_pack_matches_naive_and_conserves(spark):
+import pytest
+
+
+@pytest.mark.parametrize("chunk", [1, 37, 10_000])
+def test_pack_matches_naive_and_conserves(spark, chunk):
+    # chunk=1: every doc its own chunk (prefix entirely from the totals
+    # cumsum); chunk=10k: single chunk (prefix entirely intra-window);
+    # chunk=37: the mixed general case
     corpus = pipeline.build_corpus_df(spark, gen_sql.rel_from_range(300))
     got = sorted(
-        packing.pack_bins(corpus, seq_len=512, chunk=37).collect()
+        packing.pack_bins(corpus, seq_len=512, chunk=chunk).collect()
     )
     want = sorted(_naive_pack(corpus, 512).collect())
     assert got == want
