@@ -1,0 +1,68 @@
+"""Lookup-table enrichments: GeoIP-style range lookup + UA classification.
+
+Matomo's importer geolocates hits and device-detects user agents before
+attribution; the reference delegates that to the Matomo server after
+routing (its job stops at per-sink counts). This module supplies the
+table-driven analogs the pipeline's consumers expect:
+
+  * ``with_geo`` — IP → registry region via a RANGE lookup against a
+    (lo, hi, region) table: a broadcast join with a BETWEEN predicate
+    (BroadcastNestedLoopJoin). The table is data, not code — ranges change
+    without redeploying, unlike a baked-in CASE. Scale: the geo table is
+    dimension-sized (broadcast); for very large range sets, bucket the key
+    space so the lookup becomes an equi-join on bucket + BETWEEN refine
+    (same pattern as logspark/rangejoin.py).
+  * ``ua_class`` — user-agent → {bot, cli, browser, other} via anchored
+    LIKE patterns (pure column CASE; mirrors the bot taxonomy in
+    logspark/rules.py, reference values.py bot markers).
+
+Both are deterministic and DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# synthetic-but-deterministic registry ranges over the first IPv4 octet
+GEO_RANGES: list[tuple[int, int, str]] = [
+    (0, 63, "apnic"),
+    (64, 127, "arin"),
+    (128, 191, "ripe"),
+    (192, 223, "lacnic"),
+    (224, 255, "afrinic"),
+]
+
+
+def geo_table(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        GEO_RANGES, "lo int, hi int, region string"
+    )
+
+
+def first_octet(ip_col: str = "ip") -> Column:
+    return F.split(F.col(ip_col), "\\.").getItem(0).cast("int")
+
+
+def with_geo(df: DataFrame, spark: SparkSession, ip_col: str = "ip") -> DataFrame:
+    """Append ``region`` via broadcast range lookup (BETWEEN join)."""
+    g = F.broadcast(geo_table(spark))
+    o = first_octet(ip_col)
+    return df.withColumn("_oct", o).join(
+        g,
+        (F.col("_oct") >= F.col("lo")) & (F.col("_oct") <= F.col("hi")),
+        "left",
+    ).drop("_oct", "lo", "hi")
+
+
+def ua_class(ua_col: str = "ua") -> Column:
+    ua = F.lower(F.col(ua_col))
+    return (
+        F.when(
+            ua.like("%bot%") | ua.like("%crawler%") | ua.like("%spider%"),
+            "bot",
+        )
+        .when(ua.like("curl/%") | ua.like("wget/%"), "cli")
+        .when(ua.like("mozilla/%"), "browser")
+        .otherwise("other")
+    )
