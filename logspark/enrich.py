@@ -66,3 +66,21 @@ def ua_class(ua_col: str = "ua") -> Column:
         .when(ua.like("mozilla/%"), "browser")
         .otherwise("other")
     )
+
+
+def anonymize_ip(ip_col: str = "ip", keep_octets: int = 3) -> Column:
+    """Matomo-style IP anonymization (privacy.ipAddressMaskLength): zero
+    the trailing 4-``keep_octets`` octets of an IPv4 address so stored
+    hits are k-anonymous at the subnet level. Matomo's tracker does this
+    server-side before any visit is persisted; a training-data pipeline
+    does it before logs enter the corpus (PII scrubbing).
+
+    Pure column expression (narrow, codegen): splits on the literal dot
+    and rebuilds with '0' fillers — no regex dialect exposure, identical
+    string math cross-engine. NULL in -> NULL out."""
+    parts = F.split(F.col(ip_col), "\\.")
+    kept = [parts.getItem(i) for i in range(keep_octets)]
+    zeros = [F.lit("0")] * (4 - keep_octets)
+    return F.when(
+        F.col(ip_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat_ws(".", *kept, *zeros))

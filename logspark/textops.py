@@ -660,6 +660,49 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def span_dedup_stats(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Exact duplicated-SPAN statistics per document: the fraction of a
+    document's k-word windows that also occur verbatim in at least one
+    OTHER document (the window-level exact-substring dedup signal of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — scaled from their 50-token suffix-array spans to k-word
+    windows). Complements MinHash (whole-doc near-dup) by catching
+    boilerplate/quotation PARTIAL overlap that document-level Jaccard
+    dilutes away.
+
+    Returns (doc_id, n_win, n_shared, shared_frac): distinct windows in
+    the doc, those whose window text appears in >= 2 distinct docs, and
+    their ratio (ONE int/int division — bit-identical cross-engine).
+    Docs with < k words have no window row (consistent cross-engine).
+
+    Scale shape (3 shuffles, NO join): distinct (doc_id, window) pairs;
+    a count(*) window partitioned by the window text (no orderBy ->
+    no sort, just a per-key count); final groupBy doc_id. The per-window
+    doc count never materializes a shingle->count table to join back.
+    Skew: a corpus-hot boilerplate window lands on one partition — its
+    row count is bounded by the number of docs containing it; at extreme
+    scale swap the analytic count for a salted two-level agg + broadcast
+    of the (tiny) >=2-doc window set."""
+    from pyspark.sql.window import Window
+
+    w = shingles_df(docs, k=k).distinct()
+    n_docs_w = F.count("*").over(Window.partitionBy("shingle"))
+    marked = w.select(
+        "doc_id", (n_docs_w >= 2).cast("int").alias("is_shared")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_win"),
+            F.sum("is_shared").alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared").cast("double") / F.col("n_win"),
+        )
+    )
+
+
 def with_split(docs: DataFrame) -> DataFrame:
     """Append the deterministic split bucket + label as a NARROW map (pure
     function of doc_id — never a join): any consumer that needs the split

@@ -240,3 +240,71 @@ def test_ann_recall_eval_invariants(spark):
         assert r["n_exact"] == 4  # corpus >> k, self excluded
         assert r["n_ivf"] <= 4
         assert r["recall"] == r["n_hit"] / r["n_exact"]
+
+
+# ---------------------------------------------------------------------------
+# span dedup / CMS sketch / IP anonymization (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_stats_exact(spark):
+    """doc1/doc2 share the first 5-word span; doc3 is disjoint; doc4 is
+    too short for a 5-word window and must emit no row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y", "en", "s", 10),
+            (2, "a b c d e q r", "en", "s", 10),
+            (3, "u v w zz aa bb", "en", "s", 10),
+            (4, "one two", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.span_dedup_stats(docs, k=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc1 windows: 'a b c d e', 'b c d e x', 'c d e x y' — only the first
+    # also occurs in doc2
+    assert out[1]["n_win"] == 3 and out[1]["n_shared"] == 1
+    assert out[2]["n_win"] == 3 and out[2]["n_shared"] == 1
+    assert out[1]["shared_frac"] == pytest.approx(1 / 3)
+    assert out[3]["n_shared"] == 0 and out[3]["shared_frac"] == 0.0
+
+
+def test_span_dedup_repeated_window_within_doc_counts_once(spark):
+    """A window repeated WITHIN one doc is one distinct window; it is only
+    'shared' if some OTHER doc also has it."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    [r] = textops.span_dedup_stats(docs, k=5).collect()
+    # 6 window positions but 'a b c d e' appears twice -> 5 distinct
+    assert r["n_win"] == 5
+    assert r["n_shared"] == 0  # sole doc: nothing cross-doc
+
+
+def test_cms_estimate_dominates_exact(spark):
+    """CMS guarantee: estimate >= exact count, and on a tiny vocabulary
+    (no bucket collisions at width 1024) estimate == exact."""
+    from logspark import sketch
+
+    words = spark.createDataFrame(
+        [(1, w) for w in "a a a b b c".split()], "doc_id long, word string"
+    )
+    rows = {r["item"]: r for r in sketch.cms_heavy_hitters(words).collect()}
+    assert rows["a"]["exact_cnt"] == 3 and rows["b"]["exact_cnt"] == 2
+    for r in rows.values():
+        assert r["cms_est"] >= r["exact_cnt"]
+    assert rows["a"]["cms_est"] == 3  # 3 distinct words can't collide 4x
+
+
+def test_anonymize_ip(spark):
+    from logspark import enrich
+
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("192.168.255.254",), (None,)], "ip string"
+    )
+    got = [r["a"] for r in df.select(enrich.anonymize_ip("ip").alias("a")).collect()]
+    assert got == ["10.1.2.0", "192.168.255.0", None]
