@@ -308,3 +308,39 @@ def test_anonymize_ip(spark):
     )
     got = [r["a"] for r in df.select(enrich.anonymize_ip("ip").alias("a")).collect()]
     assert got == ["10.1.2.0", "192.168.255.0", None]
+
+
+def test_funnel_strict_ordering(spark, tmp_path):
+    """A purchase BEFORE the first click must not count as converted:
+    the funnel demands view < click < purchase per user."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        # u1: clean view->click->purchase
+        ev(1, 1, "view", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 20),
+        # u2: purchase BEFORE click -> stops at 'clicked'
+        ev(4, 2, "view", 0), ev(5, 2, "purchase", 5), ev(6, 2, "click", 10),
+        # u3: click before any view -> stops at 'viewed'
+        ev(7, 3, "click", 0), ev(8, 3, "view", 5),
+        # u4: never viewed -> 'none'
+        ev(9, 4, "purchase", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/events.parquet")
+    got = {
+        r["stage"]: r["n_users"]
+        for r in entry.q_funnel_conversion(spark, d).collect()
+    }
+    assert got == {"purchased": 1, "clicked": 1, "viewed": 1, "none": 1}
