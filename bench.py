@@ -83,6 +83,9 @@ HEADLINE = [
     "asof_last_click",
     "range_join_pairs",
     "kmv_distinct_ips",
+    "cms_heavy_hitters",
+    "span_dedup_stats",
+    "funnel_conversion",
     "neardup_clusters",
     "tfidf_top_terms",
     "repetition_scores",

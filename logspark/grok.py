@@ -91,3 +91,15 @@ NCSA_COMBINED_TEMPLATE = (
     '%{NUMBER:status} %{NOTSPACE:nbytes} '
     '"%{DATA:referrer}" "%{QUOTEDSTRING:ua}"'
 )
+
+
+# W3C extended (space-separated: date time c-ip cs-method cs-uri-stem
+# cs-uri-query sc-status sc-bytes cs(User-Agent) cs(Referer)). The anchored
+# 10-field shape rejects every other corpus format: IIS has 12 fields, NCSA
+# starts with an IP, cloudfront is tab-separated (literal ' ' does not match
+# a tab), nginx_json has no third-field IP.
+W3C_EXTENDED_TEMPLATE = (
+    "%{NOTSPACE:date} %{NOTSPACE:time} %{IP:ip} %{WORD:method} "
+    "%{URIPATH:stem} %{NOTSPACE:query} %{NUMBER:status} %{NOTSPACE:nbytes} "
+    "%{NOTSPACE:ua} %{NOTSPACE:referrer}"
+)

@@ -193,3 +193,38 @@ def test_retention_archive_handles_escaped_partition_names(spark, tmp_path):
     assert left.count() == 5  # escaped-name partition really deleted
     assert left.filter(F2.col("source") == "srv a=1").count() == 0
     assert spark.read.parquet(arch).count() == 5
+
+
+def test_scd2_apply_all_merge_arms(spark):
+    """All five MERGE arms: history pass-through, changed (close+reopen),
+    same-attr update (keep), no update (keep), new key (insert)."""
+    import datetime as dt
+
+    from logspark import scd
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    current = spark.createDataFrame(
+        [
+            (1, "old", t(1), t(2)),   # history row
+            (1, "a", t(2), None),     # open, will change -> close+reopen
+            (2, "b", t(1), None),     # open, same-attr update -> keep
+            (3, "c", t(1), None),     # open, no update -> keep
+        ],
+        "key long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2", t(5)), (2, "b", t(5)), (4, "d", t(5))],
+        "key long, attr string, ts timestamp",
+    )
+    got = {
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd.scd2_apply(current, updates).collect()
+    }
+    assert got == {
+        (1, "old", t(1), t(2)),
+        (1, "a", t(2), t(5)),    # closed at update ts
+        (1, "a2", t(5), None),   # reopened
+        (2, "b", t(1), None),    # kept (same attr)
+        (3, "c", t(1), None),    # kept (no update)
+        (4, "d", t(5), None),    # inserted
+    }

@@ -216,3 +216,46 @@ def test_kmeans_assign_broadcasts_centroids(spark, small_corpus):
     txt = plan_text(simsearch.kmeans_assign(emb, k=4))
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
     assert "SortMergeJoin" not in txt
+
+
+def test_span_dedup_no_join(spark):
+    """span_dedup_stats must stay join-free: distinct pairs -> analytic
+    count over the window text -> per-doc agg. A join node means the
+    shingle->count table got materialized and joined back (the shape we
+    designed away)."""
+    from logspark import textops
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j", "en", "s", 19) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    txt = plan_text(textops.span_dedup_stats(docs, k=5))
+    assert "Join" not in txt
+    assert "Window" in txt
+
+
+def test_bloom_probe_broadcasts_bitset(spark):
+    """The bloom bitset and the exact-truth arm must both be BROADCAST to
+    the probe side — the probe relation never shuffles for a join."""
+    from logspark import sketch
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 5}", "en", "s", 8) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    txt = plan_text(sketch.bloom_membership(hist, probes, key="text"))
+    assert txt.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in txt
+
+
+def test_cms_sketch_join_is_broadcast(spark):
+    from logspark import sketch
+
+    words = spark.createDataFrame(
+        [(1, f"w{i % 9}") for i in range(100)], "doc_id long, word string"
+    )
+    txt = plan_text(sketch.cms_heavy_hitters(words))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt

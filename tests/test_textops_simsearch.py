@@ -344,3 +344,26 @@ def test_funnel_strict_ordering(spark, tmp_path):
         for r in entry.q_funnel_conversion(spark, d).collect()
     }
     assert got == {"purchased": 1, "clicked": 1, "viewed": 1, "none": 1}
+
+
+def test_bloom_no_false_negatives_and_dup_hits(spark):
+    """Bloom guarantee: every truly-present probe MUST hit; verdicts agree
+    with exact membership on a corpus where probe texts 0..4 repeat in
+    history and 5..9 are novel."""
+    from logspark import sketch
+
+    rows = [(i, f"text {i % 10}", "en", "s", 8) for i in range(40)]
+    rows += [(100 + i, f"novel {i}", "en", "s", 7) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    hist = docs.filter(F.col("doc_id") < 20)       # texts 0..9 all present
+    probes = docs.filter(F.col("doc_id") >= 20)    # 20 repeats + 5 novels
+    out = {r["doc_id"]: r for r in
+           sketch.bloom_membership(hist, probes, key="text").collect()}
+    assert len(out) == 25
+    for r in out.values():
+        if r["present"]:
+            assert r["bloom_hit"], f"false negative at doc {r['doc_id']}"
+    assert all(out[i]["present"] for i in range(20, 40))
+    assert not any(out[100 + i]["present"] for i in range(5))
