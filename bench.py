@@ -292,7 +292,12 @@ def main() -> None:
     try:
         routed = _pipe.routed_hits(spark, spark.read.parquet(corpus_path))
         t0 = time.time()
-        _sinks.write_fanout(routed, fan_dir, write_buckets=CPUS)
+        # salted distribution: measured 4x faster than 'direct' at 8M rows
+        # (64.8s vs 264.4s at 32 cores — per-task multi-sink writer state
+        # dominates once rows/task grow; see sinks.write_fanout docstring)
+        _sinks.write_fanout(
+            routed, fan_dir, write_buckets=CPUS, distribution="salted"
+        )
         t_fan = time.time() - t0
         result["fanout_write"] = {
             "rows": rows,
@@ -302,6 +307,16 @@ def main() -> None:
         total += t_fan
     finally:
         shutil.rmtree(fan_dir, ignore_errors=True)
+
+    # materialize the memoized corpus/routed views ONCE, timed as its own
+    # line item: this one-time Catalyst+localCheckpoint cost (measured
+    # ~12s cold / 0.15s warm on log_route_counts) otherwise lands on
+    # whichever query runs first and makes per-query times incomparable
+    # across rounds
+    t0 = time.time()
+    entrymod._routed(spark, SF_DIR).count()
+    result["corpus_prep_sec"] = round(time.time() - t0, 3)
+    total += result["corpus_prep_sec"]
 
     qs = entrymod.queries()
     qtimes: dict[str, float] = {}
