@@ -367,3 +367,38 @@ def test_bloom_no_false_negatives_and_dup_hits(spark):
             assert r["bloom_hit"], f"false negative at doc {r['doc_id']}"
     assert all(out[i]["present"] for i in range(20, 40))
     assert not any(out[100 + i]["present"] for i in range(5))
+
+
+def test_anomaly_median_mad_exact(spark, tmp_path):
+    """Hand-built daily series with one clear outlier: counts per day
+    {d1:10, d2:10, d3:11, d4:12, d5:100}. Sorted [10,10,11,12,100],
+    nearest-rank floor((5+1)/2)=3 -> median 11; adevs |c-11| =
+    [1,1,0,1,89], sorted [0,1,1,1,89] -> MAD 1; only d5 exceeds
+    3*MAD."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+    from logspark import gen_sql, pipeline  # noqa: F401
+
+    # build a tiny corpus via documents -> too heavy; instead call the
+    # window math directly through a monkeypatched _routed
+    rows = []
+    eid = 0
+    counts = {1: 10, 2: 10, 3: 11, 4: 12, 5: 100}
+    for day, c in counts.items():
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 3, day, 12, 0, 0), True))
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, parsed_ok boolean")
+    orig = entry._routed
+    entry._routed = lambda s, d: df
+    try:
+        got = {
+            str(r["log_date"]): r
+            for r in entry.q_anomaly_daily_counts(spark, "ignored").collect()
+        }
+    finally:
+        entry._routed = orig
+    assert all(r["med"] == 11 and r["mad"] == 1 for r in got.values())
+    flagged = [d for d, r in got.items() if r["is_anomaly"]]
+    assert flagged == ["2024-03-05"]
