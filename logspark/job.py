@@ -67,6 +67,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--iceberg", action="store_true")
+    p.add_argument(
+        "--anonymize-ip",
+        type=int,
+        default=0,
+        metavar="N",
+        help="privacy scrub before anything lands in a sink: zero the "
+        "trailing N IPv4 octets of the parsed client IP (Matomo "
+        "privacy.ipAddressMaskLength analog; 0 = off). Applied in the "
+        "same narrow pass as parse/route — raw IPs never touch disk",
+    )
     args = p.parse_args(argv)
 
     extra = {}
@@ -92,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
 
     obs = metrics.route_observation()
     routed = pipeline.routed_hits(spark, todo, observation=obs)
+    if args.anonymize_ip:
+        from logspark import enrich
+
+        routed = routed.withColumn(
+            "ip", enrich.anonymize_ip("ip", keep_octets=4 - args.anonymize_ip)
+        )
     sinks.write_fanout(
         routed,
         args.output,

@@ -329,3 +329,31 @@ def test_stream_click_attribution_matches_batch(spark):
         for r in streaming.click_attribution_stream(spark, df).collect()
     )
     assert out == [(1, 2, 1), (5, 6, 2)]
+
+
+def test_job_anonymize_ip_scrubs_sinks(spark, tmp_path):
+    """--anonymize-ip 1: every parsed IP landing in any sink ends in .0,
+    raw last octets never touch disk; off by default."""
+    from logspark import job, synth
+
+    corpus_path = str(tmp_path / "corpus")
+    synth.write_corpus(spark, 500, corpus_path)
+    out = str(tmp_path / "out")
+    rc = job.main(
+        [
+            "--input", corpus_path, "--output", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--partitions", "4", "--run-id", "r1", "--cores", "8",
+            "--anonymize-ip", "1",
+        ]
+    )
+    assert rc == 0
+    ips = [
+        r["ip"]
+        for r in spark.read.parquet(out).select("ip").collect()
+        if r["ip"] is not None
+    ]
+    assert ips, "expected parsed IPs in sinks"
+    assert all(ip.endswith(".0") for ip in ips)
+    # the three kept octets must still be real (k-anonymity, not erasure)
+    assert any(ip.rsplit(".", 1)[0].count(".") == 2 for ip in ips)
