@@ -259,3 +259,35 @@ def test_cms_sketch_join_is_broadcast(spark):
     txt = plan_text(sketch.cms_heavy_hitters(words))
     assert "BroadcastHashJoin" in txt
     assert "SortMergeJoin" not in txt
+
+
+def test_funnel_windows_share_one_exchange(spark, tmp_path_factory):
+    """The three stacked conditional-min funnel windows all partition by
+    user_id — they must share ONE exchange, not add one per step."""
+    import __spark_entry__ as entry
+
+    d = str(tmp_path_factory.mktemp("funnelplan"))
+    spark.createDataFrame(
+        [(1, None, 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    txt = plan_text(entry.q_funnel_conversion(spark, d))
+    assert txt.count("hashpartitioning(user_id") <= 1
+    assert "Window" in txt
+
+
+def test_pit_join_is_hash_join_with_residual(spark, tmp_path_factory):
+    """The temporal lookup must be an equi-join on the user key with the
+    interval predicate as a residual — never a nested-loop range join."""
+    import __spark_entry__ as entry
+
+    d = str(tmp_path_factory.mktemp("pitplan"))
+    spark.createDataFrame(
+        [(1, None, 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    txt = plan_text(entry.q_pit_segment_activity(spark, d))
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
