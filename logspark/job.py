@@ -140,10 +140,14 @@ def main(argv: list[str] | None = None) -> int:
         stats = control.partition_stats(this_run, args.run_id)
         store.append(stats)
 
-    if args.metrics_dir:
-        metrics.lineage_counts(routed, args.run_id, "route").write.mode(
-            "append"
-        ).parquet(args.metrics_dir)
+        if args.metrics_dir:
+            # lineage from the SAME pruned two-column readback — never from
+            # the live `routed` plan, which would re-run the entire parse
+            # pass a second time just for metrics (at 50M rows that
+            # duplicate pass GC-thrashed a 32g single-JVM driver to death)
+            metrics.lineage_counts(
+                this_run, args.run_id, "route", key="part_id"
+            ).write.mode("append").parquet(args.metrics_dir)
 
     rows = observed.get("rows_total", 0)
     dt = time.time() - t0

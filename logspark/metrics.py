@@ -30,10 +30,18 @@ def observed_columns():
     ]
 
 
-def lineage_counts(routed: DataFrame, run_id: str, stage: str) -> DataFrame:
-    """Per-physical-partition route counts (north_rule lineage)."""
+def lineage_counts(
+    routed: DataFrame, run_id: str, stage: str, key: str | None = None
+) -> DataFrame:
+    """Per-partition route counts (north_rule lineage). ``key`` names a
+    logical partition column (e.g. part_id) — pass it when counting from
+    a sink READBACK, where spark_partition_id() would report file-split
+    ids and, worse, force a second full pipeline pass if fed the live
+    `routed` plan (measured: the duplicate 50M-row parse it caused
+    GC-thrashed a 32g single-JVM driver to death)."""
+    part = F.col(key) if key else F.spark_partition_id()
     return routed.groupBy(
-        F.spark_partition_id().alias("partition_id"), F.col("route")
+        part.alias("partition_id"), F.col("route")
     ).agg(F.count("*").alias("cnt")).select(
         F.lit(run_id).alias("run_id"),
         F.lit(stage).alias("stage"),
