@@ -217,10 +217,13 @@ def bloom_membership(
     false negatives — asserted by test); false positives are the
     measured, bounded cost.
 
-    Scale shape — the point: the history side collapses to a <= 8 KB-row
-    bitset BROADCAST to every probe partition (this is what Spark's own
+    Scale shape — the point: the history side collapses to a <= BLOOM_BITS-
+    row bitset BROADCAST to every probe partition (this is what Spark's own
     AQE runtime bloom-join filters do internally); the probe side never
-    shuffles. The exact arm (left semi join on the key) exists to GRADE
+    shuffles. Size m ~= n*k/ln2 bits for ~ (1/2)^k false positives at n
+    history keys (8192/4 here suits the test corpus; at 10^9 keys a ~0.7 GB
+    real bitset beats broadcasting it as rows — same plan, denser encoding
+    via spark's builtin bloom_filter_agg or a chunked bitmap column). The exact arm (left semi join on the key) exists to GRADE
     the filter and is what the bloom REPLACES at 100 TB when a small
     false-positive rate is acceptable (or prefilters: bloom first, exact
     join only the hits)."""
