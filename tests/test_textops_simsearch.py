@@ -402,3 +402,19 @@ def test_anomaly_median_mad_exact(spark, tmp_path):
     assert all(r["med"] == 11 and r["mad"] == 1 for r in got.values())
     flagged = [d for d, r in got.items() if r["is_anomaly"]]
     assert flagged == ["2024-03-05"]
+
+
+def test_minhash_estimate_identical_docs(docs):
+    """The planted exact-dup pair (1,2) must show full signature
+    agreement (estimate 1.0) and exact Jaccard 1.0; every estimate is in
+    [0, 1] with agreement on the num_perms grid."""
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in textops.minhash_estimate_eval(docs).collect()
+    }
+    p = out[(1, 2)]
+    assert p["mh_agree"] == textops.NUM_PERMS
+    assert p["mh_est"] == 1.0 and p["jaccard"] == 1.0
+    for r in out.values():
+        assert 0 <= r["mh_agree"] <= textops.NUM_PERMS
+        assert r["mh_est"] == r["mh_agree"] / textops.NUM_PERMS
