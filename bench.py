@@ -140,7 +140,7 @@ def _busy_loop(_i: int) -> float:
     return time.time() - t0
 
 
-def _hw_percore_factor(lo: int, hi: int, rounds: int = 2) -> float:
+def _hw_percore_factor(lo: int, hi: int, rounds: int = 3) -> float:
     """Measured hardware control for single-host scaling runs: per-core
     slowdown factor when ``hi`` cores are busy vs ``lo`` cores busy
     (turbo frequency + shared memory bandwidth). On THIS sandbox the
@@ -161,8 +161,12 @@ def _hw_percore_factor(lo: int, hi: int, rounds: int = 2) -> float:
         ratios.append(avgs[hi] / avgs[lo])
     # a ratio < 1 (per-core FASTER with more busy cores) is physically
     # impossible and means the probe itself hit a noisy host window —
-    # clamp so the normalization can only correct, never exaggerate
-    return round(max(1.0, min(ratios)), 3)
+    # clamp so the normalization can only correct, never exaggerate.
+    # Upper cap 1.33: the largest 8->32-busy-core slowdown ever measured
+    # on this host across all rounds (BASELINE.md control table), so a
+    # single noisy probe round cannot push the headline past what the
+    # hardware has demonstrably done. min over rounds, then cap.
+    return round(min(1.33, max(1.0, min(ratios))), 3)
 
 
 def _cpu_probe() -> float:

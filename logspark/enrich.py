@@ -78,6 +78,11 @@ def anonymize_ip(ip_col: str = "ip", keep_octets: int = 3) -> Column:
     Pure column expression (narrow, codegen): splits on the literal dot
     and rebuilds with '0' fillers — no regex dialect exposure, identical
     string math cross-engine. NULL in -> NULL out."""
+    if not 0 <= keep_octets <= 4:
+        raise ValueError(
+            f"keep_octets must be in [0, 4], got {keep_octets} "
+            "(mask length N maps to keep_octets = 4 - N)"
+        )
     parts = F.split(F.col(ip_col), "\\.")
     kept = [parts.getItem(i) for i in range(keep_octets)]
     zeros = [F.lit("0")] * (4 - keep_octets)

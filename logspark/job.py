@@ -54,7 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--metrics-dir", default=None)
+    p.add_argument(
+        "--metrics-dir",
+        default=None,
+        help="append per-partition lineage rows here (keyed by logical "
+        "part_id; the partition_key column records that). NOTE: emitted "
+        "only when this run had pending partitions — a fully-resumed run "
+        "writes no data and therefore no lineage rows",
+    )
     p.add_argument("--partitions", type=int, default=256)
     p.add_argument("--run-id", default="run-0")
     p.add_argument(
@@ -71,11 +78,15 @@ def main(argv: list[str] | None = None) -> int:
         "--anonymize-ip",
         type=int,
         default=0,
+        choices=[0, 1, 2, 3, 4],
         metavar="N",
         help="privacy scrub before anything lands in a sink: zero the "
         "trailing N IPv4 octets of the parsed client IP (Matomo "
-        "privacy.ipAddressMaskLength analog; 0 = off). Applied in the "
-        "same narrow pass as parse/route — raw IPs never touch disk",
+        "privacy.ipAddressMaskLength analog; 0 = off). Scrubs BOTH the "
+        "parsed ip column AND the token array (the tokens are the raw "
+        "line's code points, so masking ip alone would leave the address "
+        "recoverable from every sink row) in the same narrow pass — the "
+        "raw address never lands in any sink column",
     )
     args = p.parse_args(argv)
 
@@ -104,9 +115,27 @@ def main(argv: list[str] | None = None) -> int:
     routed = pipeline.routed_hits(spark, todo, observation=obs)
     if args.anonymize_ip:
         from logspark import enrich
+        from logspark import tokens as tokmod
 
-        routed = routed.withColumn(
-            "ip", enrich.anonymize_ip("ip", keep_octets=4 - args.anonymize_ip)
+        masked = enrich.anonymize_ip("ip", keep_octets=4 - args.anonymize_ip)
+        # PII closure: tokens ARE the raw line (per-character code points),
+        # so the raw address must be scrubbed there too — detokenize,
+        # literal-replace every occurrence of the raw ip with the masked
+        # form, retokenize. All codegen'd column math in the same narrow
+        # pass; rows with no parsed IP keep their tokens verbatim (the
+        # per-row token-equality invariant holds for every non-PII row).
+        scrubbed_line = F.replace(
+            tokmod.detokenize_expr("tokens"), F.col("ip"), masked
+        )
+        routed = (
+            routed.withColumn(
+                "tokens",
+                F.when(
+                    F.col("ip").isNull(), F.col("tokens")
+                ).otherwise(tokmod.tokenize(scrubbed_line)),
+            )
+            .withColumn("n_tok", F.size("tokens"))
+            .withColumn("ip", masked)
         )
     sinks.write_fanout(
         routed,

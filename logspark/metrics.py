@@ -45,6 +45,10 @@ def lineage_counts(
     ).agg(F.count("*").alias("cnt")).select(
         F.lit(run_id).alias("run_id"),
         F.lit(stage).alias("stage"),
+        # record WHICH key kind partition_id holds (logical part_id vs
+        # physical spark_partition_id) so rows from different call sites
+        # appended into one metrics table stay interpretable
+        F.lit(key or "spark_partition_id").alias("partition_key"),
         "partition_id",
         "route",
         "cnt",

@@ -44,19 +44,37 @@ def scd2_apply(
       * open row + same-attr update  -> unchanged open row
       * open row, no update          -> unchanged open row
       * update for an unseen key     -> NEW open row (the INSERT arm)
+
+    ``attr`` may be legitimately NULL on either side: presence is tracked
+    with explicit marker columns (not attr-nullness) and the change test
+    is null-safe, so NULL <-> value transitions version the row and
+    NULL -> NULL is "unchanged".
     """
     hist = current.filter(F.col("valid_to").isNotNull())
+    # explicit side-presence markers: attr is allowed to be legitimately
+    # NULL on either side, so nullness of _c_attr/_u_attr cannot double as
+    # the "row existed on this side of the FULL OUTER" sentinel (it would
+    # silently drop an open NULL-attr row and make a NULL-attr update
+    # indistinguishable from no update)
     open_ = current.filter(F.col("valid_to").isNull()).select(
-        F.col(key), F.col(attr).alias("_c_attr"), "valid_from"
+        F.col(key),
+        F.col(attr).alias("_c_attr"),
+        "valid_from",
+        F.lit(True).alias("_c"),
     )
     upd = updates.select(
-        F.col(key), F.col(attr).alias("_u_attr"), F.col(ts).alias("_u_ts")
+        F.col(key),
+        F.col(attr).alias("_u_attr"),
+        F.col(ts).alias("_u_ts"),
+        F.lit(True).alias("_u"),
     )
     j = open_.join(upd, key, "full_outer")
+    # null-safe attr comparison: NULL -> 'x' and 'x' -> NULL are real
+    # changes; NULL -> NULL is unchanged
     changed = (
-        F.col("_c_attr").isNotNull()
-        & F.col("_u_attr").isNotNull()
-        & (F.col("_c_attr") != F.col("_u_attr"))
+        F.col("_c").isNotNull()
+        & F.col("_u").isNotNull()
+        & ~F.col("_c_attr").eqNullSafe(F.col("_u_attr"))
     )
     # WHEN MATCHED AND changed: close the old version
     closed = j.filter(changed).select(
@@ -67,7 +85,7 @@ def scd2_apply(
     )
     # ... and open the new one; WHEN NOT MATCHED: insert the new key
     opened = j.filter(
-        changed | (F.col("_c_attr").isNull() & F.col("_u_attr").isNotNull())
+        changed | (F.col("_c").isNull() & F.col("_u").isNotNull())
     ).select(
         F.col(key),
         F.col("_u_attr").alias(attr),
@@ -75,7 +93,7 @@ def scd2_apply(
         F.lit(None).cast("timestamp").alias("valid_to"),
     )
     # WHEN MATCHED AND unchanged / no update: keep the open row
-    kept = j.filter(F.col("_c_attr").isNotNull() & ~changed).select(
+    kept = j.filter(F.col("_c").isNotNull() & ~changed).select(
         F.col(key),
         F.col("_c_attr").alias(attr),
         "valid_from",

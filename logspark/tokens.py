@@ -35,9 +35,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def tokenize(line_col: str) -> Column:
-    """line -> array<int> of code points (generator-side helper, JVM)."""
-    return F.transform(F.split(F.col(line_col), ""), lambda c: F.ascii(c).cast("int"))
+def tokenize(line_col: str | Column) -> Column:
+    """line -> array<int> of code points (generator-side helper, JVM).
+    Accepts a column name or a Column expression (e.g. a scrubbed line)."""
+    line = F.col(line_col) if isinstance(line_col, str) else line_col
+    return F.transform(F.split(line, ""), lambda c: F.ascii(c).cast("int"))
 
 
 def with_tokens(df: DataFrame, line_col: str = "line") -> DataFrame:

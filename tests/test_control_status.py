@@ -228,3 +228,40 @@ def test_scd2_apply_all_merge_arms(spark):
         (3, "c", t(1), None),    # kept (no update)
         (4, "d", t(5), None),    # inserted
     }
+
+
+def test_scd2_apply_null_attrs(spark):
+    """NULL attr values are data, not presence sentinels: an open NULL-attr
+    row with no update is KEPT (not dropped), NULL <-> value transitions
+    version the row, NULL -> NULL is unchanged (ADVICE r2: attr-nullness
+    was the full-outer presence marker and lost those rows)."""
+    import datetime as dt
+
+    from logspark import scd
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    current = spark.createDataFrame(
+        [
+            (1, None, t(1), None),   # open NULL-attr, no update -> keep
+            (2, None, t(1), None),   # open NULL-attr, NULL update -> keep
+            (3, None, t(1), None),   # open NULL-attr, update 'x' -> version
+            (4, "y", t(1), None),    # open 'y', NULL update -> version
+        ],
+        "key long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(2, None, t(5)), (3, "x", t(5)), (4, None, t(5))],
+        "key long, attr string, ts timestamp",
+    )
+    got = {
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd.scd2_apply(current, updates).collect()
+    }
+    assert got == {
+        (1, None, t(1), None),
+        (2, None, t(1), None),
+        (3, None, t(1), t(5)),
+        (3, "x", t(5), None),
+        (4, "y", t(1), t(5)),
+        (4, None, t(5), None),
+    }

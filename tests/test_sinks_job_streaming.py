@@ -332,13 +332,35 @@ def test_stream_click_attribution_matches_batch(spark):
 
 
 def test_job_anonymize_ip_scrubs_sinks(spark, tmp_path):
-    """--anonymize-ip 1: every parsed IP landing in any sink ends in .0,
-    raw last octets never touch disk; off by default."""
-    from logspark import job, synth
+    """--anonymize-ip 1: every parsed IP landing in ANY sink column ends
+    in .0 — including the token array, which carries the raw line's code
+    points and would otherwise let every sink row reconstruct the address
+    (ADVICE r2 high). Off by default."""
+    from pyspark.sql import functions as F
+
+    from logspark import job, synth, tokens
 
     corpus_path = str(tmp_path / "corpus")
     synth.write_corpus(spark, 500, corpus_path)
     out = str(tmp_path / "out")
+
+    # reference run WITHOUT the flag: the raw addresses that must not
+    # survive anywhere in the anonymized sinks
+    raw_out = str(tmp_path / "raw_out")
+    assert job.main(
+        [
+            "--input", corpus_path, "--output", raw_out,
+            "--checkpoint", str(tmp_path / "raw_ckpt"),
+            "--partitions", "4", "--run-id", "r0", "--cores", "8",
+        ]
+    ) == 0
+    raw_ips = {
+        r["ip"]
+        for r in spark.read.parquet(raw_out).select("ip").distinct().collect()
+        if r["ip"] is not None and not r["ip"].endswith(".0")
+    }
+    assert raw_ips, "expected raw IPs with a nonzero last octet"
+
     rc = job.main(
         [
             "--input", corpus_path, "--output", out,
@@ -348,12 +370,50 @@ def test_job_anonymize_ip_scrubs_sinks(spark, tmp_path):
         ]
     )
     assert rc == 0
+    sinks_df = spark.read.parquet(out)
     ips = [
         r["ip"]
-        for r in spark.read.parquet(out).select("ip").collect()
+        for r in sinks_df.select("ip").collect()
         if r["ip"] is not None
     ]
     assert ips, "expected parsed IPs in sinks"
     assert all(ip.endswith(".0") for ip in ips)
     # the three kept octets must still be real (k-anonymity, not erasure)
     assert any(ip.rsplit(".", 1)[0].count(".") == 2 for ip in ips)
+
+    # NO sink column can reconstruct a raw address: detokenize the stored
+    # token arrays and scan every string-typed column for any raw IP
+    detok = sinks_df.withColumn(
+        "_line", tokens.detokenize_expr("tokens")
+    )
+    str_cols = [
+        f.name
+        for f in detok.schema.fields
+        if f.dataType.simpleString() == "string"
+    ]
+    hits = detok.filter(
+        F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit("")) for c in str_cols])
+        .rlike("|".join(ip.replace(".", "\\.") for ip in raw_ips))
+    ).count()
+    assert hits == 0, "raw IP recoverable from an anonymized sink column"
+    # and n_tok still matches the scrubbed array (invariant maintained)
+    assert detok.filter(F.size("tokens") != F.col("n_tok")).count() == 0
+
+
+def test_anonymize_ip_flag_validation():
+    """N outside [0,4] is rejected up front (argparse choices) and
+    keep_octets outside [0,4] raises in enrich.anonymize_ip."""
+    import pytest
+
+    from logspark import enrich, job
+
+    with pytest.raises(SystemExit):
+        job.main(["--input", "x", "--output", "y", "--checkpoint", "z",
+                  "--anonymize-ip", "5"])
+    with pytest.raises(SystemExit):
+        job.main(["--input", "x", "--output", "y", "--checkpoint", "z",
+                  "--anonymize-ip", "-1"])
+    with pytest.raises(ValueError):
+        enrich.anonymize_ip("ip", keep_octets=-1)
+    with pytest.raises(ValueError):
+        enrich.anonymize_ip("ip", keep_octets=5)
