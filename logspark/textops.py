@@ -472,6 +472,7 @@ def curate_corpus(
     max_avg_word_len: float = 6.0,
     langs: tuple = ("en", "es", "fr"),
     jaccard_threshold: float = 0.7,
+    near_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end training-data curation verdict per document — the
     composition a 100TB pretraining pipeline runs as one pass:
@@ -488,7 +489,12 @@ def curate_corpus(
     the same bucketed designs as dedup_exact / minhash_neardup_verified
     (no O(n^2) stage anywhere); the final assembly is three left joins on
     doc_id against SMALL loser sets (losers are a fraction of the corpus;
-    at extreme dup rates they are still < n and join on the primary key)."""
+    at extreme dup rates they are still < n and join on the primary key).
+
+    ``near_pairs``: pass an already-computed minhash_neardup_verified
+    result (>= jaccard_threshold) to reuse one materialization across the
+    pipeline's consumers instead of re-running the full
+    shingle -> minhash -> band -> verify pass here."""
     q = quality_scores(docs).select(
         "doc_id", "n_words", "avg_word_len"
     )
@@ -510,9 +516,10 @@ def curate_corpus(
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", F.lit(True).alias("is_exact_loser"))
     )
+    if near_pairs is None:
+        near_pairs = minhash_neardup_verified(docs, threshold=jaccard_threshold)
     near_losers = (
-        minhash_neardup_verified(docs, threshold=jaccard_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
+        near_pairs.select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_near_loser", F.lit(True))
     )
