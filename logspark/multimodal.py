@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -103,8 +104,26 @@ def decode_and_featurize(media: DataFrame, fake: bool = False) -> DataFrame:
                     "pass fake=True for the deterministic stub decoder"
                 )
             payloads = pdf["payload"]
-            feat_mean = payloads.map(
-                lambda b: float(sum(b)) / len(b) if b is not None and len(b) else 0.0
+            # vectorized byte-mean: ONE flat uint8 buffer + add.reduceat
+            # over per-row offsets — no per-row Python arithmetic (the
+            # same batch shape a real numpy/PIL decode would use)
+            lens = np.asarray(
+                [0 if b is None else len(b) for b in payloads], dtype=np.int64
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            if len(lens) > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
+            flat = np.frombuffer(
+                b"".join(b for b in payloads if b), dtype=np.uint8
+            )
+            sums = np.zeros(len(lens), dtype=np.float64)
+            nz = lens > 0
+            if flat.size:
+                sums[nz] = np.add.reduceat(
+                    flat.astype(np.int64), starts[nz]
+                ).astype(np.float64)
+            feat_mean = np.divide(
+                sums, lens, out=np.zeros_like(sums), where=nz
             )
             yield pd.DataFrame(
                 {

@@ -115,21 +115,79 @@ def duck_sign_bucket_sql(col: str = "embedding", bits: int = 8) -> str:
 def ivf_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 5, bits: int = 8
 ) -> DataFrame:
-    """ANN probe: scan only the query's sign bucket, exact rank inside."""
+    """ANN probe over an UNINDEXED corpus: compute every row's sign bucket
+    in the scan, keep only the query's bucket, exact rank inside. The
+    query's own bucket is hoisted INTO the broadcast side (computed once,
+    not re-derived per scanned row). This form still scans all vectors —
+    it is the oracle-checkable semantics; the scale path is
+    build_ivf_index + ivf_topk_indexed, where the same bucket function is
+    a physical partition key and the probe prunes at file listing."""
     q = F.broadcast(
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("qv"))
         .withColumn("qn", F.expr(_norm_sql("qv")))
+        .withColumn("qb", sign_bucket_expr("qv", bits))
     )
     bucketed = emb.withColumn("bucket", sign_bucket_expr("embedding", bits))
-    cand = bucketed.crossJoin(q).filter(
-        F.col("bucket") == sign_bucket_expr("qv", bits)
-    )
+    cand = bucketed.crossJoin(q).filter(F.col("bucket") == F.col("qb"))
     sim = F.expr(_dot_sql("embedding", "qv")) / (
         F.expr(_norm_sql("embedding")) * F.col("qn")
     )
     return (
         cand.select("vec_id", "label", "bucket", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sign_bucket_py(vec, bits: int = 8) -> int:
+    """Python mirror of sign_bucket_expr — the probe side of the IVF index
+    computes the query's bucket CLIENT-SIDE (it is a pure function of the
+    query vector), so the index scan can carry a literal partition filter."""
+    return sum(1 << i for i in range(bits) if float(vec[i]) > 0)
+
+
+def build_ivf_index(emb: DataFrame, path: str, bits: int = 8) -> None:
+    """Materialize the IVF index: the corpus physically PARTITIONED by the
+    sign bucket (one directory per bucket, hive-style `bucket=<id>`).
+
+    This is what makes the probe's docstring claim REAL: `bucket` is a pure
+    row function, so writing the table clustered by it turns every probe
+    into a partition-pruned scan — file listing skips all other buckets and
+    the executed plan shows the literal in PartitionFilters (pinned by
+    tests/test_plans.py). Iceberg analog: a `bucket`/identity partition
+    transform in the table spec + the same literal predicate. The
+    repartition bounds files to one per bucket directory."""
+    (
+        emb.withColumn("bucket", sign_bucket_expr("embedding", bits))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec,
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Probe a build_ivf_index table: the query's bucket is computed
+    client-side (sign_bucket_py), so the scan carries a LITERAL partition
+    filter and reads exactly one `bucket=` directory regardless of corpus
+    size — the 10^9-vector serving shape. Exact cosine rank inside the
+    bucket; same tie-break and fold arithmetic as ivf_topk, so on the same
+    data the two return identical rows."""
+    qb = sign_bucket_py(query_vec, bits)
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    scan = spark.read.parquet(index_path).filter(F.col("bucket") == qb)
+    sim = F.expr(_dot_sql("embedding", [float(x) for x in query_vec])) / (
+        F.expr(_norm_sql("embedding")) * F.lit(qn)
+    )
+    return (
+        scan.select("vec_id", "label", "bucket", sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
@@ -161,7 +219,9 @@ def duck_band_bucket_sql(col: str, band: int, bits_per_band: int) -> str:
     return "CAST((" + " + ".join(terms) + ") AS INT)"
 
 
-def neardup_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+def neardup_exact(
+    emb: DataFrame, threshold: float = 0.45, max_rows: int = 1_000_000
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact O(n^2) baseline.
 
     Broadcast-nested-loop self-join on vec_id ordering; only viable as a
@@ -169,7 +229,22 @@ def neardup_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     (neardup_pairs) is the 10^9-vector path. Analog of the dedup family
     the reference's pipeline implies for training corpora (per-round brief);
     no counterpart in /root/reference (it has no vector ops at all).
+
+    HARD CEILING: the whole table is broadcast — 64 dims x 8B + row
+    overhead is ~600B/row, so 1M rows is already ~0.6 GB in EVERY
+    executor (and n^2/2 = 5*10^11 comparisons). ``max_rows`` guards the
+    broadcast with one cheap count and raises instead of OOM-ing the
+    executors; pass a larger value only for a deliberately-sized re-rank
+    slice. Corpus-scale runs belong to neardup_pairs.
     """
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"neardup_exact is the O(n^2) BROADCAST baseline: {n} rows "
+            f"exceeds max_rows={max_rows} (~{600 * n >> 20} MiB broadcast "
+            "per executor). Use neardup_pairs (banded sign-LSH) at scale, "
+            "or raise max_rows for a deliberately-sized re-rank slice."
+        )
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
     ).withColumn("na", F.expr(_norm_sql("ea")))

@@ -291,3 +291,35 @@ def test_pit_join_is_hash_join_with_residual(spark, tmp_path_factory):
     txt = plan_text(entry.q_pit_segment_activity(spark, d))
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):
+    """The materialized IVF index (parquet partitioned by the sign bucket)
+    must turn a probe into a partition-PRUNED scan: the literal bucket
+    predicate lands in PartitionFilters (file-listing-time pruning, like
+    test_filter_pushdown_reaches_parquet_scan pins row-group pushdown) and
+    the executed scan reads only the query bucket's rows."""
+    from logspark import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("plans") / "ivf_index")
+    simsearch.build_ivf_index(emb, path, bits=4)
+
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    probe = simsearch.ivf_topk_indexed(spark, path, qvec, k=5, bits=4)
+    txt = plan_text(probe)
+    assert "PartitionFilters" in txt, txt
+    qb = simsearch.sign_bucket_py(qvec, 4)
+    assert f"bucket = {qb}" in txt or f"bucket#" in txt.split("PartitionFilters", 1)[1].splitlines()[0], txt
+
+    # executed: rows considered == the one bucket's population, not n
+    bucket_rows = spark.read.parquet(path).filter(F.col("bucket") == qb).count()
+    total_rows = emb.count()
+    assert bucket_rows < total_rows
+    # and the probe agrees with the unindexed semantics on the same data
+    expect = {
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in simsearch.ivf_topk(emb, query_vec_id=0, k=5, bits=4).collect()
+    }
+    got = {(r["vec_id"], round(r["cosine"], 9)) for r in probe.collect()}
+    assert got == expect
