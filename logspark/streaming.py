@@ -22,7 +22,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from contextlib import contextmanager
+
 from logspark import pipeline
+
+
+@contextmanager
+def _drain_conf(spark: SparkSession, shuffle_partitions: int = 8):
+    """Clamp shuffle partitions for the duration of an AvailableNow drain.
+
+    Stateful streaming operators instantiate ONE state store per shuffle
+    partition per micro-batch; each store pays open/commit/snapshot I/O
+    every batch regardless of row volume. The batch session's 2x-cores
+    sizing (64 here) is right for wide batch shuffles but pure overhead
+    for a drain whose state is keyset-sized: 64 stores x k batches of
+    per-store commit latency dominated the measured wall time on small
+    corpora. On a real cluster this is the same discipline as
+    `spark.sql.streaming.numStatePartitions`-style sizing: state
+    partitions are sized to STATE VOLUME and executor count, not to the
+    batch shuffle width. The clamp applies only to streams STARTED inside
+    the block (partitioning is frozen into the checkpoint at first start);
+    the session value is restored afterwards."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 CORPUS_SCHEMA = T.StructType(
     [
@@ -91,20 +118,24 @@ def route_counts_via_stream(spark: SparkSession, corpus: DataFrame) -> DataFrame
     base = tempfile.mkdtemp(prefix="logspark_stream_parity_")
     try:
         inp = f"{base}/in"
-        corpus.write.mode("overwrite").parquet(inp)
+        # 16 files + maxFilesPerTrigger=8 -> exactly TWO micro-batches:
+        # the minimum that still exercises cross-batch accumulation, without
+        # paying per-batch offset-commit/state overhead 4-8x over
+        corpus.repartition(16).write.mode("overwrite").parquet(inp)
         name = f"route_counts_parity_{uuid.uuid4().hex[:8]}"
-        stream = read_corpus_stream(spark, inp)
-        routed = routed_stream(spark, stream)
-        counts = routed.groupBy("route").agg(F.count("*").alias("cnt"))
-        q = (
-            counts.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            stream = read_corpus_stream(spark, inp)
+            routed = routed_stream(spark, stream)
+            counts = routed.groupBy("route").agg(F.count("*").alias("cnt"))
+            q = (
+                counts.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{base}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name)
     finally:
         # memory-sink rows live in driver memory; the scratch corpus copy +
@@ -147,11 +178,11 @@ def _stateful_source_totals(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     inp = f"{base}/in"
-    corpus.write.mode("overwrite").parquet(inp)
+    # two micro-batches (16 files / 8 per trigger): state MUST survive a
+    # batch boundary for the cumulative total to be right, and two batches
+    # prove that at 1/4 the per-batch state-store commit cost of eight
+    corpus.repartition(16).write.mode("overwrite").parquet(inp)
     name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
-
-    stream = read_corpus_stream(spark, inp)
-    routed = routed_stream(spark, stream).select("source")
 
     def update(key, pdfs, state: GroupState):
         total = state.get[0] if state.exists else 0
@@ -160,22 +191,25 @@ def _stateful_source_totals(
         state.update((total,))
         yield pd.DataFrame({"source": [key[0]], "total": [total]})
 
-    updates = routed.groupBy("source").applyInPandasWithState(
-        update,
-        outputStructType="source string, total long",
-        stateStructType="total long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(spark):
+        stream = read_corpus_stream(spark, inp)
+        routed = routed_stream(spark, stream).select("source")
+        updates = routed.groupBy("source").applyInPandasWithState(
+            update,
+            outputStructType="source string, total long",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("source")
@@ -201,20 +235,24 @@ def stream_dedup_doc_ids(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     base = tempfile.mkdtemp(prefix="logspark_stream_dedup_")
     try:
         inp = f"{base}/in"
-        corpus.write.mode("overwrite").parquet(inp)
-        corpus.write.mode("append").parquet(inp)  # second arrival of every doc
+        # each arrival wave is 8 files = one micro-batch: wave 2 re-sends
+        # every doc in a LATER batch than its first arrival, so the dedup
+        # state provably works across the batch boundary (two batches total)
+        corpus.repartition(8).write.mode("overwrite").parquet(inp)
+        corpus.repartition(8).write.mode("append").parquet(inp)
         name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-        stream = read_corpus_stream(spark, inp)
-        dedup = stream.select("doc_id", "source").dropDuplicates(["doc_id"])
-        q = (
-            dedup.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            stream = read_corpus_stream(spark, inp)
+            dedup = stream.select("doc_id", "source").dropDuplicates(["doc_id"])
+            q = (
+                dedup.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{base}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name)
     finally:
         import shutil
@@ -254,7 +292,18 @@ def stream_incremental_dedup(spark: SparkSession, docs: DataFrame) -> DataFrame:
     base = tempfile.mkdtemp(prefix="logspark_stream_ssj_")
     try:
         inp = f"{base}/in"
-        new_bands.write.mode("overwrite").parquet(inp)
+        # 16 files + default maxFilesPerTrigger 8 -> two micro-batches
+        new_bands.repartition(16).write.mode("overwrite").parquet(inp)
+        # Materialize the historical band INDEX once: a static side that is
+        # a live plan would re-run the whole shingle->minhash->band pass
+        # EVERY micro-batch (the static side of a stream-static join is
+        # re-evaluated per batch by design, so mutable tables are seen
+        # fresh). In production this is exactly the stored index table that
+        # incremental_dedup maintains; a k-batch drain must read it, not
+        # rebuild it k times.
+        hist_path = f"{base}/hist"
+        hist.write.mode("overwrite").parquet(hist_path)
+        hist_static = spark.read.parquet(hist_path)
         schema = T.StructType(
             [
                 T.StructField("doc_id", T.LongType(), True),
@@ -263,21 +312,22 @@ def stream_incremental_dedup(spark: SparkSession, docs: DataFrame) -> DataFrame:
             ]
         )
         name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-        stream = spark.readStream.schema(schema).parquet(inp)
-        joined = (
-            stream.join(hist, ["band", "band_key"])
-            .select(F.col("doc_id").alias("new_doc"), "hist_doc")
-            .dropDuplicates(["new_doc", "hist_doc"])
-        )
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            stream = spark.readStream.schema(schema).parquet(inp)
+            joined = (
+                stream.join(hist_static, ["band", "band_key"])
+                .select(F.col("doc_id").alias("new_doc"), "hist_doc")
+                .dropDuplicates(["new_doc", "hist_doc"])
+            )
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{base}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -315,7 +365,11 @@ def click_attribution_stream(
     base = tempfile.mkdtemp(prefix="logspark_stream_join_")
     try:
         inp = f"{base}/in"
-        events.write.mode("overwrite").parquet(inp)
+        # 8 files / 4 per trigger -> two micro-batches: view-state buffered
+        # in batch 1 must join clicks arriving in batch 2 (and the
+        # watermark must not evict it), which two batches prove at a
+        # quarter of the per-batch join-state commit cost of eight
+        events.repartition(8).write.mode("overwrite").parquet(inp)
         name = f"click_attr_{uuid.uuid4().hex[:8]}"
         schema = events.schema
 
@@ -358,15 +412,16 @@ def click_attribution_stream(
                 f"AND click_ts <= view_ts + interval {horizon_min} minutes"
             ),
         ).select("view_id", "click_id", "user_id")
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{base}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name)
     finally:
         import shutil
