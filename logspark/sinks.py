@@ -111,6 +111,13 @@ def write_fanout(
         .mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", max_records_per_file)
+        # zstd for token-array sinks: parquet's per-value encode of nested
+        # int lists is the write bottleneck, and snappy-on-dictionary pages
+        # is pathological for them — measured on the 8M-row corpus (1B list
+        # elements, 32 cores): snappy+dict 58-93s/560MB, dict-off+snappy
+        # 35s/1.3GB, ZSTD 14s/325MB — 4x faster AND 42% smaller. Decode-side
+        # cost is ~5% on the full-pipeline scan, paid only by sink readers.
+        .option("compression", "zstd")
         .parquet(out_dir)
     )
 
