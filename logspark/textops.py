@@ -170,6 +170,7 @@ def minhash_neardup_verified(
     num_perms: int = NUM_PERMS,
     rows_per_band: int = LSH_ROWS_PER_BAND,
     threshold: float = 0.7,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH dedup path: shingle -> minhash -> tuned banding ->
     candidate pairs -> exact shingle-set Jaccard verify >= threshold.
@@ -179,7 +180,8 @@ def minhash_neardup_verified(
     counts; no stage is O(n^2). Candidate selectivity at sf0.01 is ~0.02%
     of all pairs (vs 63% with the round-1 unigram geometry)."""
     cand = lsh_candidate_pairs(
-        minhash_signatures(docs, num_perms), rows_per_band
+        signatures if signatures is not None else minhash_signatures(docs, num_perms),
+        rows_per_band,
     )
     w = shingles_df(docs).distinct()
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("nw"))
@@ -223,9 +225,14 @@ def minhash_estimate_eval(
     table; the 128-component agreement is ONE zip_with/aggregate
     higher-order expression over two array columns — bounded codegen,
     not 128 unrolled comparisons (the round-1 Janino 64 KB lesson)."""
-    sigs = minhash_signatures(docs, num_perms)
+    # ONE signature pass shared by both consumers: the estimate side and
+    # the candidate/verify side each need the full signature table, and as
+    # separate lazy plans the shingle->md5->min aggregation would run twice
+    # (lineage-truncating checkpoint = the stored signature table a
+    # production index would read).
+    sigs = minhash_signatures(docs, num_perms).localCheckpoint(eager=False)
     exact = minhash_neardup_verified(
-        docs, num_perms, rows_per_band, threshold=0.0
+        docs, num_perms, rows_per_band, threshold=0.0, signatures=sigs
     )
     mh = [f"mh{k}" for k in range(num_perms)]
     sa = sigs.select(
