@@ -47,6 +47,7 @@ Env knobs:
   BENCH_SCALING        0 to skip the scaling runs entirely (default 1)
   BENCH_SAT            0 to skip the saturated 8->32 secondary pair (default 1)
   BENCH_QUERIES        comma-list to subset the per-query section
+  BENCH_CACHE_DIR      corpus cache dir (default <repo>/.bench_cache)
 """
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ DO_SAT = os.environ.get("BENCH_SAT", "1") != "0"
 # levels to land in a clean host window (this sandbox throttles in
 # minutes-long windows; 3 cycles measurably under-sampled the clean state)
 REPS = int(os.environ.get("BENCH_REPS", "8"))
-CACHE = os.path.join(REPO, ".bench_cache")
+CACHE = os.environ.get("BENCH_CACHE_DIR", os.path.join(REPO, ".bench_cache"))
 # Scaling-level JVM: ParallelGC with a 28g young gen. The pipeline is
 # allocation-heavy (UTF8String per detokenized line) and promotes almost
 # nothing; measured at 32 cores on the 8M corpus: default ParallelGC
