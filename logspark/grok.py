@@ -103,3 +103,66 @@ W3C_EXTENDED_TEMPLATE = (
     "%{URIPATH:stem} %{NOTSPACE:query} %{NUMBER:status} %{NOTSPACE:nbytes} "
     "%{NOTSPACE:ua} %{NOTSPACE:referrer}"
 )
+
+
+# NCSA common: the combined template minus the trailing quoted
+# referrer/user-agent pair. The anchored END is what separates the two
+# dialects — a combined line still carries ' "ref" "ua"' after the bytes
+# field, so the anchored common template rejects it (and vice versa:
+# common lines lack the quoted pair the combined template requires).
+NCSA_COMMON_TEMPLATE = (
+    '%{IP:ip} %{NOTSPACE} %{NOTSPACE} [%{HTTPDATE:ts}] '
+    '"%{WORD:method} %{NOTSPACE:path} %{NOTSPACE}" '
+    '%{NUMBER:status} %{NOTSPACE:nbytes}'
+)
+
+
+# IIS W3C flavor (space-separated: date time s-sitename s-ip cs-method
+# cs-uri-stem cs-uri-query s-port cs-username c-ip cs(User-Agent)+
+# sc-status). The literal 'W3SVC' site-name prefix in field 3 is the
+# structural discriminator vs plain W3C extended (whose field 3 is the
+# client IP); 12 anchored fields reject every other format.
+IIS_TEMPLATE = (
+    "%{NOTSPACE:date} %{NOTSPACE:time} W3SVC%{NUMBER} %{IP} %{WORD:method} "
+    "%{URIPATH:stem} %{NOTSPACE:query} %{NUMBER} %{NOTSPACE} %{IP:ip} "
+    "%{NOTSPACE:ua} %{NUMBER:status}"
+)
+
+
+# Amazon CloudFront access logs are TAB-separated (date time x-edge-location
+# sc-bytes c-ip cs-method cs(Host) cs-uri-stem sc-status cs(Referer)
+# cs(User-Agent)+ cs-uri-query). The literal tabs in the template are the
+# structural discriminator: space-separated formats cannot match a single
+# one of them, and a cloudfront line contains no plain spaces (UA is
+# '+'-encoded), so the space-separated templates reject it symmetrically.
+CLOUDFRONT_TEMPLATE = (
+    "%{NOTSPACE:date}\t%{NOTSPACE:time}\t%{NOTSPACE}\t%{NOTSPACE:nbytes}\t"
+    "%{IP:ip}\t%{WORD:method}\t%{NOTSPACE}\t%{URIPATH:stem}\t%{NUMBER:status}\t"
+    "%{NOTSPACE:referrer}\t%{NOTSPACE:ua}\t%{NOTSPACE:query}"
+)
+
+
+def nginx_json_extract(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """The nginx-JSON member of the format taxonomy. JSON is not
+    regex-shaped — a grok template cannot parse nested quoting/escapes
+    correctly — so this dispatch arm is `from_json` against the documented
+    schema (logspark/formats.py): still ONE JVM-side parse per row, still
+    whole-plan Catalyst, zero Python. Lines of any other format (or corrupt
+    lines) parse to a NULL struct and drop out exactly like an anchored
+    grok non-match. Fields are surfaced under the same names the grok
+    templates use (ip/method/status/...) so downstream aggregation code is
+    format-agnostic."""
+    from logspark import formats
+
+    j = F.from_json(F.col(line_col), formats.NGINX_JSON_SCHEMA)
+    req = F.split(j["request"], " ")
+    return df.select(
+        "*",
+        j["remote_addr"].alias("ip"),
+        req.getItem(0).alias("method"),
+        req.getItem(1).alias("path"),
+        j["status"].cast("string").alias("status"),
+        j["body_bytes_sent"].cast("string").alias("nbytes"),
+        j["http_referer"].alias("referrer"),
+        j["http_user_agent"].alias("ua"),
+    )

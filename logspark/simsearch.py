@@ -535,3 +535,94 @@ def kmeans_update_fixedpoint(
         for d in range(dims_out)
     ]
     return best.groupBy("cid").agg(F.count("*").alias("n_members"), *sums)
+
+
+def _assign_best(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (broadcast k-row fan-out, map-side
+    argmin via min(struct) — see kmeans_assign for the scale notes).
+    Returns (vec_id, cid, embedding)."""
+    j = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.expr(_dist2_sql("embedding", "cvec")).alias("dist2"),
+    )
+    return (
+        j.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist2", "cid")).alias("b"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", F.col("b.cid").alias("cid"), "embedding")
+    )
+
+
+def kmeans_iterate(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1 << 20,
+    dims: int = DIMS,
+) -> DataFrame:
+    """The REAL semantic-clustering curation loop: assign -> full-width
+    fixed-point update -> re-assign, chained for ``iters`` iterations with
+    a convergence readout — exactly reproducible end to end.
+
+    The update step sums every coordinate in scaled fixed point (floor to
+    a 2^20-scaled BIGINT before the SUM), so the per-cluster sums are
+    integers — order-free at any parallelism — and the new centroid
+    coordinate is the DETERMINISTIC double ``(CAST(sum AS DOUBLE) / scale)
+    / n_members``. Every subsequent distance uses the same left-fold
+    association order as _dist2_sql, so a DuckDB oracle running the
+    identical arithmetic reproduces every assignment bit-for-bit, tie-break
+    included.
+
+    Scale shape: each iteration is one broadcast fan-out (centroids are k
+    rows — ALWAYS broadcast-able) + one map-side-combined argmin aggregate
+    + one k-row update aggregate; the convergence readout is a vec_id
+    equi-join between the first and last assignments. No collect, no
+    driver loop over data — the Python for-loop only builds the plan
+    (iters is a small constant; the lineage stays shallow because each
+    update collapses to k rows).
+
+    Output per final cluster: (cid, n_members, n_changed — members whose
+    assignment differs from iteration 1 —, min_vec, max_vec).
+    """
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    first_assign = None
+    best = None
+    for it in range(iters):
+        best = _assign_best(emb, cent)
+        if first_assign is None:
+            first_assign = best.select("vec_id", F.col("cid").alias("cid0"))
+        if it < iters - 1:
+            sums = [
+                F.sum(
+                    F.expr(
+                        f"CAST(floor(CAST(embedding[{d}] AS DOUBLE) * {scale})"
+                        f" AS BIGINT)"
+                    )
+                ).alias(f"s{d}")
+                for d in range(dims)
+            ]
+            upd = best.groupBy("cid").agg(F.count("*").alias("n_members"), *sums)
+            cent = upd.select(
+                "cid",
+                F.array(
+                    *[
+                        F.expr(f"(CAST(s{d} AS DOUBLE) / {scale}) / n_members")
+                        for d in range(dims)
+                    ]
+                ).alias("cvec"),
+            )
+    moved = best.select("vec_id", "cid").join(first_assign, "vec_id")
+    return moved.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("cid") != F.col("cid0"), 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )

@@ -167,3 +167,40 @@ def test_grok_compile_and_extract(spark):
     }
     assert rows["10.0.0.1 x.y 42"] == ("10.0.0.1", "42")
     assert rows["garbage"] == ("", "")  # anchored non-match -> empties
+
+
+def test_grok_templates_dispatch_matrix(spark):
+    """Each per-format grok template matches EXACTLY its own format's
+    lines over the full generated taxonomy — the anchored match is the
+    dispatch, so cross-format acceptance (e.g. ncsa_common matching a
+    combined line, or IIS matching W3C) is a template bug this pins."""
+    from logspark import gen_sql, grok
+
+    corpus = spark.sql(gen_sql.corpus_sql(gen_sql.rel_from_range(400))).select(
+        "fmt", "corrupt", "line"  # drop ground-truth fields that would
+    )  # collide with the grok-extracted column names
+    templates = {
+        "ncsa_combined": grok.NCSA_COMBINED_TEMPLATE,
+        "ncsa_common": grok.NCSA_COMMON_TEMPLATE,
+        "w3c_extended": grok.W3C_EXTENDED_TEMPLATE,
+        "iis": grok.IIS_TEMPLATE,
+        "cloudfront": grok.CLOUDFRONT_TEMPLATE,
+    }
+    truth = {
+        r["fmt"]: r["cnt"]
+        for r in corpus.filter("NOT corrupt").groupBy("fmt").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    for fmt, tpl in templates.items():
+        g = grok.grok_extract(corpus, tpl).filter(F.col("status") != "")
+        got = {
+            r["fmt"]: r["cnt"]
+            for r in g.groupBy("fmt").count()
+            .withColumnRenamed("count", "cnt").collect()
+        }
+        assert got == {fmt: truth[fmt]}, f"{fmt}: matched {got}, want only own"
+    # the JSON arm: from_json, NULL struct on every other format
+    j = grok.nginx_json_extract(corpus).filter(F.col("status").isNotNull())
+    got_j = {r["fmt"]: r["cnt"] for r in j.groupBy("fmt").count()
+             .withColumnRenamed("count", "cnt").collect()}
+    assert got_j == {"nginx_json": truth["nginx_json"]}
