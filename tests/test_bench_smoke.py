@@ -33,6 +33,8 @@ def test_bench_emits_driver_contract_json(tmp_path):
             "BENCH_QUERIES": "log_route_counts,dedup_exact",
             # keep the toy corpus out of the real bench cache
             "BENCH_CACHE_DIR": str(tmp_path / "bench_cache"),
+            # ... and the sidecar out of the repo root
+            "BENCH_SIDECAR": str(tmp_path / "sidecar.json"),
         }
     )
     out = subprocess.run(
@@ -53,15 +55,21 @@ def test_bench_emits_driver_contract_json(tmp_path):
         None,
     )
     assert line, f"no JSON line on stdout: {out.stdout[-1000:]!r}"
+    # the round-3 postmortem: the line itself must stay inside the
+    # driver's tail capture, whatever the query count
+    assert len(line) < 2048, f"stdout line is {len(line)}B (>2KB)"
     r = json.loads(line)
 
     # driver contract: ONE JSON line with these keys
     assert r["unit"] == "sec"
+    assert r["bench_schema"] == 2
     assert isinstance(r["metric"], str) and r["metric"]
     assert isinstance(r["value"], (int, float)) and r["value"] > 0
     assert r["sf"] == 0.001
     assert set(r["queries"]) == {"log_route_counts", "dedup_exact"}
     assert all(t >= 0 for t in r["queries"].values())
+    assert r["queries_n"] == 2
+    assert r["queries_total_sec"] >= 0
 
     pipe = r["pipeline"]
     assert pipe["rows"] == 20000
@@ -72,3 +80,15 @@ def test_bench_emits_driver_contract_json(tmp_path):
 
     # scaling was explicitly skipped — the section must be absent, not junk
     assert "scaling" not in r
+
+    # full detail goes to the sidecar the compact line points at
+    with open(r["queries_file"]) as fh:
+        d = json.load(fh)
+    assert set(d["queries"]) == {"log_route_counts", "dedup_exact"}
+    assert set(d["corpus_prep"]) == {
+        "routed",
+        "neardup_pairs",
+        "embedding_pairs",
+        "ivf_index",
+    }
+    assert d["pipeline"]["rows"] == 20000
