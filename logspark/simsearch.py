@@ -537,13 +537,18 @@ def kmeans_update_fixedpoint(
     return best.groupBy("cid").agg(F.count("*").alias("n_members"), *sums)
 
 
-def _assign_best(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_best(
+    emb: DataFrame, cent: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest-centroid assignment (broadcast k-row fan-out, map-side
     argmin via min(struct) — see kmeans_assign for the scale notes).
-    Returns (vec_id, cid, embedding)."""
+    Returns (vec_id, cid, embedding, *passthrough); passthrough columns
+    are functionally determined by vec_id, so first() is
+    value-deterministic."""
     j = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
+        *passthrough,
         "cid",
         F.expr(_dist2_sql("embedding", "cvec")).alias("dist2"),
     )
@@ -552,8 +557,9 @@ def _assign_best(emb: DataFrame, cent: DataFrame) -> DataFrame:
         .agg(
             F.min(F.struct("dist2", "cid")).alias("b"),
             F.first("embedding").alias("embedding"),
+            *[F.first(c).alias(c) for c in passthrough],
         )
-        .select("vec_id", F.col("b.cid").alias("cid"), "embedding")
+        .select("vec_id", F.col("b.cid").alias("cid"), "embedding", *passthrough)
     )
 
 
@@ -578,12 +584,15 @@ def kmeans_iterate(
     included.
 
     Scale shape: each iteration is one broadcast fan-out (centroids are k
-    rows — ALWAYS broadcast-able) + one map-side-combined argmin aggregate
-    + one k-row update aggregate; the convergence readout is a vec_id
-    equi-join between the first and last assignments. No collect, no
-    driver loop over data — the Python for-loop only builds the plan
-    (iters is a small constant; the lineage stays shallow because each
-    update collapses to k rows).
+    rows — ALWAYS broadcast-able, iteration-2's come out of a k-row
+    aggregate) + one map-side-combined argmin aggregate + one k-row update
+    aggregate; the convergence readout needs NO join — the iteration-1
+    label rides through the later assigns as a passthrough column
+    (functionally determined by vec_id), so the final stage is a plain
+    k-row aggregate over the last assignment. No collect, no driver loop
+    over data — the Python for-loop only builds the plan (iters is a
+    small constant; the lineage stays shallow because each update
+    collapses to k rows).
 
     Output per final cluster: (cid, n_members, n_changed — members whose
     assignment differs from iteration 1 —, min_vec, max_vec).
@@ -591,13 +600,14 @@ def kmeans_iterate(
     cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    first_assign = None
+    data = emb.select("vec_id", "embedding")
     best = None
     for it in range(iters):
-        best = _assign_best(emb, cent)
-        if first_assign is None:
-            first_assign = best.select("vec_id", F.col("cid").alias("cid0"))
+        best = _assign_best(data, cent, passthrough=("cid0",) if it else ())
+        if it == 0:
+            best = best.withColumn("cid0", F.col("cid"))
         if it < iters - 1:
+            data = best.select("vec_id", "embedding", "cid0")
             sums = [
                 F.sum(
                     F.expr(
@@ -617,8 +627,7 @@ def kmeans_iterate(
                     ]
                 ).alias("cvec"),
             )
-    moved = best.select("vec_id", "cid").join(first_assign, "vec_id")
-    return moved.groupBy("cid").agg(
+    return best.groupBy("cid").agg(
         F.count("*").alias("n_members"),
         F.sum(F.when(F.col("cid") != F.col("cid0"), 1).otherwise(0)).alias(
             "n_changed"

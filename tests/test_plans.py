@@ -218,6 +218,27 @@ def test_kmeans_assign_broadcasts_centroids(spark, small_corpus):
     assert "SortMergeJoin" not in txt
 
 
+def test_kmeans_iterate_broadcasts_every_round(spark):
+    """The iterated loop must keep EVERY centroid fan-out a broadcast —
+    including iteration 2, whose centroids come out of an aggregate (k
+    rows, still broadcast-able) — and never fall back to a sort-merge or
+    cartesian shape as the plan deepens."""
+    from logspark import simsearch
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7) for d in range(simsearch.DIMS)], 0)
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    txt = plan_text(simsearch.kmeans_iterate(emb, k=4, iters=2))
+    n_bcast = txt.count("BroadcastNestedLoopJoin") + txt.count("BroadcastHashJoin")
+    assert n_bcast >= 2, txt  # both assign rounds
+    # the convergence readout must be join-free (iteration-1 label rides
+    # through the second assign as a passthrough column)
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
+
+
 def test_span_dedup_no_join(spark):
     """span_dedup_stats must stay join-free: distinct pairs -> analytic
     count over the window text -> per-doc agg. A join node means the
