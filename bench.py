@@ -392,9 +392,12 @@ def main() -> None:
     u_extra = 0
     if DO_SCALING:
         u_cycles = max(1, (REPS + 1) // 3)
+        # asymmetric reps: the hi level sits in the denominator TIMES the
+        # core ratio, so one dirty-window hi rep costs 4x what a dirty lo
+        # rep does — and a hi rep is ~3x cheaper to buy (16s vs 52s).
         for _ in range(u_cycles):
             _cycle(u_lo, reps=2, warms=1)
-            _cycle(u_hi, reps=2, warms=1)
+            _cycle(u_hi, reps=3, warms=1)
         # Adaptive top-up: host contention is ONE-SIDED — another tenant's
         # load can only make a cycle slower, never faster — so a low ratio
         # is either engine truth or a dirty window, and extra alternating
@@ -410,7 +413,7 @@ def main() -> None:
 
         while u_extra < MAX_EXTRA and _eff(u_lo, u_hi) < 0.82:
             _cycle(u_lo, reps=2, warms=1)
-            _cycle(u_hi, reps=2, warms=1)
+            _cycle(u_hi, reps=3, warms=1)
             u_extra += 1
 
     # ---- SECONDARY pair: the saturated 8 -> 32 regime (plus the full-
