@@ -16,7 +16,7 @@ the line carries):
                "efficiency_raw": ..., "hw_percore_factor": ...,
                "efficiency_hw_normalized": ...},
    "fanout_write": {...}, "corpus_prep_sec": ...,
-   "queries": {<slowest 8 only>}, "queries_n": 108,
+   "queries": {<slowest 8 only>}, "queries_n": 109,
    "queries_total_sec": ..., "queries_file": "BENCH_QUERIES.json"}
 
 Schema note (bench_schema=2): rounds 1-2 published the hw-normalized
