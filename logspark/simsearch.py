@@ -465,12 +465,11 @@ def kmeans_assign(emb: DataFrame, k: int = 8) -> DataFrame:
     dedup): deterministic centroids (vec_id < k), every vector assigned to
     its nearest centroid by squared L2 (ties broken by centroid id).
 
-    Scale shape: centroids are BROADCAST (k rows), so the k-way distance
-    fan-out happens map-side with no shuffle; the per-vector argmin is a
-    min(struct) aggregate whose map-side partials collapse the k candidate
-    rows back to one per vector BEFORE the exchange (the joined rows for a
-    vector are co-partitioned by construction). The cluster-stats output
-    is a second, k-row-sized aggregate. Returns (cid, n_members, min_vec,
+    Scale shape: the k centroids collapse to a single broadcast row of
+    (cid, cvec) structs and the per-vector argmin is a pure row function
+    (array_min over transform — see _assign_best), so the assign touches
+    NO shuffle at all; the only exchange is the k-row cluster-stats
+    aggregate at the end. Returns (cid, n_members, min_vec,
     max_vec). The UPDATE step (new centroids = cluster means) is a float
     sum whose order Spark does not fix — at scale run it as a scaled-
     integer sum (see value_percentiles notes) or accept tolerance; this
@@ -478,14 +477,7 @@ def kmeans_assign(emb: DataFrame, k: int = 8) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    j = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", F.expr(_dist2_sql("embedding", "cvec")).alias("dist2")
-    )
-    best = (
-        j.groupBy("vec_id")
-        .agg(F.min(F.struct("dist2", "cid")).alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cid"))
-    )
+    best = _assign_best(emb.select("vec_id", "embedding"), cent)
     return best.groupBy("cid").agg(
         F.count("*").alias("n_members"),
         F.min("vec_id").alias("min_vec"),
@@ -505,27 +497,14 @@ def kmeans_update_fixedpoint(
     Emits the first ``dims_out`` coordinate sums (narrow demo output; the
     full-width version is the same expression over all dims).
 
-    Scale shape: the assign join is the broadcast fan-out of kmeans_assign
-    with per-vector argmin carried WITH its embedding (functionally
-    dependent on the group key, so first() is value-deterministic); the
-    update is one k-row aggregate."""
+    Scale shape: the assign is the shuffle-free broadcast array-argmin of
+    _assign_best (the embedding rides along as a plain column — no
+    group-key trick needed); the update is one k-row aggregate, the only
+    exchange in the plan."""
     cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    j = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.expr(_dist2_sql("embedding", "cvec")).alias("dist2"),
-    )
-    best = (
-        j.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist2", "cid")).alias("b"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", F.col("b.cid").alias("cid"), "embedding")
-    )
+    best = _assign_best(emb.select("vec_id", "embedding"), cent)
     sums = [
         F.sum(
             F.expr(
@@ -540,26 +519,32 @@ def kmeans_update_fixedpoint(
 def _assign_best(
     emb: DataFrame, cent: DataFrame, passthrough: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Nearest-centroid assignment (broadcast k-row fan-out, map-side
-    argmin via min(struct) — see kmeans_assign for the scale notes).
-    Returns (vec_id, cid, embedding, *passthrough); passthrough columns
-    are functionally determined by vec_id, so first() is
-    value-deterministic."""
-    j = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        *passthrough,
-        "cid",
-        F.expr(_dist2_sql("embedding", "cvec")).alias("dist2"),
+    """Nearest-centroid assignment with ZERO corpus shuffles: the k
+    centroids collapse to ONE row holding a sorted array of (cid, cvec)
+    structs, that row is broadcast, and the per-vector argmin is
+    ``array_min(transform(...))`` — a pure row function, so no k-way row
+    fan-out and no groupBy(vec_id) exchange (the shape a broadcast-join +
+    min(struct) argmin needs). ``array_min`` over (dist2, cid) structs is
+    the same lexicographic comparison as ``min(struct(dist2, cid))``, so
+    assignments and tie-breaks are bit-identical to the fan-out form and
+    to the DuckDB unrolled oracle. Returns (vec_id, cid, embedding,
+    *passthrough) with exactly the input's row count and partitioning."""
+    cent_row = cent.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("_cents")
     )
+    dist2 = _dist2_sql("embedding", "c.cvec")
     return (
-        j.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist2", "cid")).alias("b"),
-            F.first("embedding").alias("embedding"),
-            *[F.first(c).alias(c) for c in passthrough],
+        emb.select("vec_id", "embedding", *passthrough)
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            F.expr(
+                f"array_min(transform(_cents, c -> "
+                f"struct({dist2} AS dist2, c.cid AS cid))).cid"
+            ).alias("cid"),
+            "embedding",
+            *passthrough,
         )
-        .select("vec_id", F.col("b.cid").alias("cid"), "embedding", *passthrough)
     )
 
 
@@ -583,16 +568,17 @@ def kmeans_iterate(
     identical arithmetic reproduces every assignment bit-for-bit, tie-break
     included.
 
-    Scale shape: each iteration is one broadcast fan-out (centroids are k
-    rows — ALWAYS broadcast-able, iteration-2's come out of a k-row
-    aggregate) + one map-side-combined argmin aggregate + one k-row update
-    aggregate; the convergence readout needs NO join — the iteration-1
-    label rides through the later assigns as a passthrough column
-    (functionally determined by vec_id), so the final stage is a plain
-    k-row aggregate over the last assignment. No collect, no driver loop
-    over data — the Python for-loop only builds the plan (iters is a
-    small constant; the lineage stays shallow because each update
-    collapses to k rows).
+    Scale shape: each iteration is one shuffle-free broadcast array-argmin
+    (_assign_best — the k centroids, iteration-2's included, collapse to a
+    single broadcast row; the per-vector argmin is a pure row function, no
+    fan-out, no groupBy(vec_id) exchange) + one k-row update aggregate —
+    the ONLY per-iteration shuffle, and it carries k rows of partials; the
+    convergence readout needs NO join — the iteration-1 label rides
+    through the later assigns as a passthrough column, so the final stage
+    is a plain k-row aggregate over the last assignment. No collect, no
+    driver loop over data — the Python for-loop only builds the plan
+    (iters is a small constant; the lineage stays shallow because each
+    update collapses to k rows).
 
     Output per final cluster: (cid, n_members, n_changed — members whose
     assignment differs from iteration 1 —, min_vec, max_vec).
