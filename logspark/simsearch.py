@@ -285,12 +285,31 @@ def neardup_exact(
                     np.float64, copy=False
                 )
                 ids_a = chunk["vec_id"].to_numpy(dtype=np.int64)
-                acc = np.zeros((len(ids_a), len(ids_all)))
-                na = np.zeros(len(ids_a))
+                m = len(ids_a)
+                acc = np.zeros((m, len(ids_all)))
+                na = np.zeros(m)
                 for i in range(A.shape[1]):  # dim-sequential = exact fold
                     ai = A[:, i]
-                    acc += ai[:, None] * Bm[:, i][None, :]
                     na += ai * ai
+                # Cache-blocked over the BROADCAST axis: the naive form
+                # (acc += outer(ai, b_i) per dim) allocates a fresh
+                # acc-sized temporary 64x and streams the whole 80 MB
+                # accumulator through RAM every dim — bandwidth-bound and
+                # hostile to co-tenants (16 s vs 26 s run spread at sf0.1).
+                # Working on a ~cache-sized acc column slice with ONE
+                # reused temporary keeps each element's accumulation order
+                # dim-sequential (blocking never reorders a single acc
+                # element's fold), so cosines stay bit-identical to the
+                # oracle's unrolled left fold.
+                cblock = max(256, 2_000_000 // (8 * max(1, m)))
+                for cs in range(0, len(ids_all), cblock):
+                    ce = min(cs + cblock, len(ids_all))
+                    accb = acc[:, cs:ce]
+                    Bb = Bm[cs:ce]
+                    tmp = np.empty_like(accb)
+                    for i in range(A.shape[1]):
+                        np.multiply(A[:, i : i + 1], Bb[:, i][None, :], out=tmp)
+                        accb += tmp
                 cos = acc / (np.sqrt(na)[:, None] * nbv[None, :])
                 keep = (cos > threshold) & (ids_a[:, None] < ids_all[None, :])
                 ia, ib = np.nonzero(keep)
