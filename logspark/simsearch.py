@@ -326,6 +326,91 @@ def neardup_exact(
     return streamed.mapInPandas(score, schema=out_schema)
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame, k: int = 64, threshold: float = 0.45, max_bucket: int = 8192
+) -> DataFrame:
+    """SemDeDup-style CLUSTER-BUCKETED semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest of k centroids,
+    then search for near-duplicate pairs ONLY within a cluster — the third
+    scale path for embedding dedup next to global sign-LSH banding
+    (neardup_pairs) and the guarded exact arm (neardup_exact). No
+    counterpart in /root/reference (it has no vector ops).
+
+    Scale shape: the assignment is the shuffle-free broadcast array-argmin
+    of _assign_best; the ONLY corpus shuffle is the groupBy(cid) exchange,
+    and the quadratic work is bounded per bucket — pick k proportional to
+    n / target_bucket_size so buckets stay cache-sized (SemDeDup runs
+    k=50k for 5B embeddings). ``max_bucket`` hard-guards the per-group
+    pandas materialization: a skewed cluster raises with guidance instead
+    of silently going quadratic (the fix is a larger k, not salting —
+    splitting a cluster changes which pairs are comparable). Recall
+    tradeoff vs the global paths is the operator's semantics, not a bug:
+    cross-cluster near-dups are deliberately out of scope (the paper's
+    argument: semantic duplicates land in the same cluster at tight
+    thresholds).
+
+    Arithmetic is the fold-order-exact block pattern of neardup_exact —
+    per-pair dot/norm accumulated dim-sequentially in numpy, so every
+    cosine is bit-identical to the DuckDB unrolled left-fold oracle, and
+    the emitted pair set is exactly reproducible at any parallelism.
+    Output: (cid, id_a, id_b, cosine) with id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = _assign_best(emb.select("vec_id", "embedding").na.drop(), cent)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cid": np.array([], dtype=np.int64),
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        if n > max_bucket:
+            raise ValueError(
+                f"semantic_dedup_pairs: cluster {int(pdf['cid'].iloc[0])} has "
+                f"{n} members > max_bucket={max_bucket} (the n^2 accumulator "
+                f"would be ~{8 * n * n >> 20} MiB). Increase k so buckets "
+                "shrink; do not salt — splitting a cluster changes which "
+                "pairs are comparable."
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros((n, n))
+        nn = np.zeros(n)
+        for i in range(M.shape[1]):  # dim-sequential = exact left fold
+            mi = M[:, i]
+            acc += mi[:, None] * mi[None, :]
+            nn += mi * mi
+        norm = np.sqrt(nn)
+        cos = acc / (norm[:, None] * norm[None, :])
+        keep = (cos > threshold) & (ids[:, None] < ids[None, :])
+        ia, ib = np.nonzero(keep)
+        if not len(ia):
+            return empty
+        return pd.DataFrame(
+            {
+                "cid": np.full(len(ia), np.int64(pdf["cid"].iloc[0])),
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "cosine": cos[ia, ib],
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        bucket_pairs, schema="cid long, id_a long, id_b long, cosine double"
+    )
+
+
 def neardup_pairs(
     emb: DataFrame,
     bands: int = 4,

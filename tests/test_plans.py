@@ -239,6 +239,25 @@ def test_kmeans_iterate_broadcasts_every_round(spark):
     assert "CartesianProduct" not in txt
 
 
+def test_semantic_dedup_single_corpus_shuffle(spark):
+    """semantic_dedup_pairs must keep exactly ONE corpus-sized exchange —
+    the groupBy(cid) bucketing — with the centroid assignment staying a
+    shuffle-free broadcast array-argmin (any extra hashpartitioning or a
+    sort-merge join means the assign regressed to the fan-out shape)."""
+    from logspark import simsearch
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7) for d in range(simsearch.DIMS)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    txt = plan_text(simsearch.semantic_dedup_pairs(emb, k=4))
+    assert "hashpartitioning(cid" in txt
+    assert txt.count("hashpartitioning(") == 1
+    assert "SortMergeJoin" not in txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+    assert "FlatMapGroupsInPandas" in txt
+
+
 def test_span_dedup_no_join(spark):
     """span_dedup_stats must stay join-free: distinct pairs -> analytic
     count over the window text -> per-doc agg. A join node means the

@@ -171,6 +171,47 @@ def test_neardup_exact_finds_identical_vectors(spark):
     assert abs(out[0]["cosine"] - 1.0) < 1e-12
 
 
+def test_semantic_dedup_subset_of_exact_and_recall_semantics(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in simsearch.neardup_exact(emb, threshold=0.3).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in simsearch.semantic_dedup_pairs(emb, threshold=0.3).collect()
+    }
+    # cluster-bucketing never invents pairs, and the cosine arithmetic is
+    # the identical dim-sequential fold
+    assert set(sem) <= set(exact)
+    for k, v in sem.items():
+        assert v == exact[k]
+
+
+def test_semantic_dedup_finds_same_cluster_pair_only(spark):
+    # centroids 0 and 1 are DISTINCT clusters whose mutual cosine (~0.9988)
+    # still clears the 0.99 threshold — the (0, 1) and (1, 5) pairs
+    # straddle the cluster boundary and are deliberately NOT emitted
+    # (SemDeDup's recall semantics); only the same-cluster pair (0, 5) is.
+    rows = [
+        (0, [1.0, 0.0] + [0.0] * 62),
+        (1, [1.0, 0.05] + [0.0] * 62),
+        (5, [1.0, 0.001] + [0.0] * 62),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = simsearch.semantic_dedup_pairs(emb, k=2, threshold=0.99).collect()
+    assert [(r["cid"], r["id_a"], r["id_b"]) for r in out] == [(0, 0, 5)]
+
+
+def test_semantic_dedup_bucket_guard_raises(spark):
+    rows = [(i, [1.0] * 64) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_bucket"):
+        simsearch.semantic_dedup_pairs(emb, k=1, max_bucket=4).collect()
+
+
 def test_incremental_dedup_matches_history(docs):
     # doc 1 (odd -> new batch) is an exact dup of doc 2 (even -> history)
     out = {
