@@ -193,6 +193,50 @@ def ivf_topk_indexed(
     )
 
 
+def multiprobe_buckets_py(vec, bits: int = 8) -> list[int]:
+    """The query's sign bucket plus its ``bits`` Hamming-distance-1
+    neighbors (one sign bit flipped each) — the standard multi-probe
+    LSH schedule (Lv et al., VLDB 2007): a vector near a bucket boundary
+    on dimension i lands in the bucket that differs only in bit i, so
+    probing the 1-flip neighbors recovers exactly those boundary misses."""
+    qb = sign_bucket_py(vec, bits)
+    return [qb] + [qb ^ (1 << i) for i in range(bits)]
+
+
+def ivf_topk_indexed_multiprobe(
+    spark,
+    index_path: str,
+    query_vec,
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Multi-probe serving path over a build_ivf_index table: probe the
+    query's bucket AND its Hamming-1 neighbors (multiprobe_buckets_py) —
+    the recall-vs-cost knob of sign-LSH ANN. Single-bucket probing misses
+    a true neighbor whenever one of its first ``bits`` components sits on
+    the other side of zero from the query's; each 1-bit flip recovers one
+    such boundary, so this reads (bits+1)/2^bits of the corpus (9/256
+    directories at bits=8) instead of 1/2^bits, for strictly higher
+    recall at a bounded, still partition-pruned cost — the IN-list of
+    literal bucket ids is resolved at file listing time exactly like the
+    single-bucket probe's equality filter (pinned in tests/test_plans.py).
+    Same fold arithmetic and (cosine, vec_id) tie-break as every other
+    probe, so results are bit-identical cross-engine; the DuckDB oracle
+    states the probe set independently as bit_count(xor(bucket(e),
+    bucket(q))) <= 1 rather than trusting this function's bucket list."""
+    probes = multiprobe_buckets_py(query_vec, bits)
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    scan = spark.read.parquet(index_path).filter(F.col("bucket").isin(probes))
+    sim = F.expr(_dot_sql("embedding", [float(x) for x in query_vec])) / (
+        F.expr(_norm_sql("embedding")) * F.lit(qn)
+    )
+    return (
+        scan.select("vec_id", "label", "bucket", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def band_bucket_expr(col: str, band: int, bits_per_band: int):
     """Sign pattern of dims [band*r, band*r + r) as an int bucket id."""
     r = bits_per_band

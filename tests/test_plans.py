@@ -363,3 +363,43 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):
     }
     got = {(r["vec_id"], round(r["cosine"], 9)) for r in probe.collect()}
     assert got == expect
+
+
+def test_ivf_multiprobe_prunes_partitions_to_hamming_ball(spark, tmp_path_factory):
+    """The multi-probe scan's IN-list of literal bucket ids must land in
+    PartitionFilters (file-listing-time pruning over bits+1 of 2^bits
+    directories) and its result must equal exact cosine rank restricted to
+    the Hamming<=1 ball, computed independently of the client-side probe
+    schedule."""
+    from logspark import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("plans") / "ivf_index_mp")
+    simsearch.build_ivf_index(emb, path, bits=4)
+
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    probe = simsearch.ivf_topk_indexed_multiprobe(spark, path, qvec, k=5, bits=4)
+    txt = plan_text(probe)
+    part = txt.split("PartitionFilters", 1)
+    assert len(part) == 2, txt
+    assert "bucket" in part[1].splitlines()[0], txt
+
+    probes = simsearch.multiprobe_buckets_py(qvec, 4)
+    assert len(set(probes)) == 5  # query bucket + 4 one-flip neighbors
+
+    # independent truth: exact rank over rows whose recomputed bucket is
+    # within Hamming distance 1 of the query's
+    qb = simsearch.sign_bucket_py(qvec, 4)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    scored = simsearch.cosine_topk(emb, query_vec_id=0, k=10**9).collect()
+    ball = [
+        r
+        for r in scored
+        if bin(simsearch.sign_bucket_py(vecs[r["vec_id"]], 4) ^ qb).count("1") <= 1
+    ]
+    expect = {
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in sorted(ball, key=lambda r: (-r["cosine"], r["vec_id"]))[:5]
+    }
+    got = {(r["vec_id"], round(r["cosine"], 9)) for r in probe.collect()}
+    assert got == expect
