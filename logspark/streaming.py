@@ -61,6 +61,18 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
 def read_corpus_stream(
     spark: SparkSession, path: str, max_files: int | None = 8
 ) -> DataFrame:
@@ -333,6 +345,87 @@ def stream_incremental_dedup(spark: SparkSession, docs: DataFrame) -> DataFrame:
             )
             q = (
                 joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{base}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def session_windows_plan(
+    stream: DataFrame, gap: str = "6 hours", delay: str = "1 hour"
+) -> DataFrame:
+    """The watermarked session-window aggregation itself (shared by the
+    parity drain below and the cross-batch merge test): one stateful
+    operator, state keyed by (user_id, merged session), evicted on
+    emission."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_windows_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    gap: str = "6 hours",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap sessionization: ``F.session_window`` under a
+    watermark in APPEND mode — the one session-window surface the batch
+    `sessionize_events` query can't exercise, because append-mode
+    emission is a pure streaming semantic: a session row is emitted
+    exactly once, when the event-time watermark (max seen ts - delay)
+    passes the session's end (last event + gap), at which point its
+    state is evicted. This is the streaming analog of the reference's
+    visit re-grouping (Matomo imports group hits into visits by
+    inactivity gap; the reference's cron-batch shape recomputes, a
+    stream closes sessions as the watermark moves).
+
+    Drain shape: SINGLE data micro-batch (no maxFilesPerTrigger), so no
+    row can arrive behind the watermark (late-drop would make parity
+    depend on which files land in which batch); the trailing no-data
+    batch AvailableNow runs advances the watermark to max(ts) - delay
+    and flushes every session that closed by then. The emitted set is
+    therefore exactly { sessions : session_end < max(ts) - delay } —
+    a deterministic predicate the DuckDB oracle states INDEPENDENTLY
+    (island-gap lag/cumsum sessionization + the same watermark cutoff),
+    so both the session grouping and the watermark emission rule are
+    under cross-engine test. Cross-batch session-merge state is pinned
+    separately by test_streaming.py's two-wave drain.
+
+    At 100 TB: state is (open sessions)-sized, partitioned by user_id
+    hash; eviction is exactly this emission rule, so state never grows
+    past the active-user working set. Returns the emitted (closed)
+    sessions."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="logspark_stream_sessions_")
+    try:
+        inp = f"{base}/in"
+        events.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).repartition(8).write.mode("overwrite").parquet(inp)
+        name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+        with _drain_conf(spark):
+            stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(inp)
+            sess = session_windows_plan(stream, gap=gap, delay=delay)
+            q = (
+                sess.writeStream.outputMode("append")
                 .format("memory")
                 .queryName(name)
                 .option("checkpointLocation", f"{base}/ck")

@@ -331,6 +331,123 @@ def test_stream_click_attribution_matches_batch(spark):
     assert out == [(1, 2, 1), (5, 6, 2)]
 
 
+def test_streaming_session_windows_matches_batch(spark):
+    """Append-mode session_window drain == batch session_window + the
+    watermark-cutoff predicate (only sessions whose end the final
+    watermark passed are emitted, each exactly once).
+
+    The cutoff is applied in PYTHON on the collected batch rows, not as a
+    DataFrame .filter() on session_end: Catalyst pushes a predicate on the
+    grouping key below the aggregation, but session_window is a MERGING
+    key — pushing `end < cutoff` below the merge drops events whose
+    pre-merge single-event window [ts, ts+gap) already ends past the
+    cutoff BEFORE they can extend an earlier session, fabricating a
+    shorter session that wrongly passes the filter (observed on this very
+    dataset: user 12's 6-event session ending 23:51 lost its last event
+    and re-emerged as a phantom 5-event session ending 19:56)."""
+    from logspark import streaming
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in streaming.session_windows_stream(spark, ev).collect()
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    cutoff = mx - dt.timedelta(hours=1)
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    expect = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+        if r["session_end"] < cutoff
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_streaming_session_windows_merge_across_batches(spark, tmp_path):
+    """A session whose events straddle a micro-batch boundary must MERGE in
+    state (one emitted row covering both waves), and an open session (end
+    not passed by the final watermark) must NOT be emitted."""
+    import datetime as dt
+    import os
+    import uuid
+
+    from logspark import streaming
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # wave 1: user 1 events at t0 and t0+4h (within the 6h gap)
+    w1 = spark.createDataFrame(
+        [(1, t0, 1, "view", 1.0, "{}"), (2, t0 + 4 * h, 1, "view", 1.0, "{}")],
+        schema,
+    )
+    # wave 2: t0+8h extends the SAME session across the batch boundary
+    # (within 6h of t0+4h); t0+30h opens a second session; user 99's event
+    # far in the future pushes the final watermark past every real session
+    # but leaves its own session open (must not be emitted)
+    w2 = spark.createDataFrame(
+        [
+            (3, t0 + 8 * h, 1, "view", 1.0, "{}"),
+            (4, t0 + 30 * h, 1, "view", 1.0, "{}"),
+            (5, t0 + 1000 * h, 99, "view", 1.0, "{}"),
+        ],
+        schema,
+    )
+    inp = str(tmp_path / "ev")
+    w1.coalesce(1).write.mode("overwrite").parquet(f"{inp}/w=1")
+    w2.coalesce(1).write.mode("append").parquet(f"{inp}/w=2")
+    files = sorted(
+        f"{d}/{f}"
+        for d, _, fs in os.walk(inp)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert len(files) == 2
+    # FileStreamSource batches by modification time: force wave order
+    os.utime(files[0], (1_000_000, 1_000_000))
+    os.utime(files[1], (2_000_000, 2_000_000))
+    name = f"sess_merge_{uuid.uuid4().hex[:8]}"
+    with streaming._drain_conf(spark):
+        stream = (
+            spark.readStream.schema(streaming.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(inp)
+        )
+        q = (
+            streaming.session_windows_plan(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(name).collect()
+    )
+    assert got == [
+        (1, t0, t0 + 14 * h, 3),        # merged across the boundary
+        (1, t0 + 30 * h, t0 + 36 * h, 1),
+    ]
+
+
 def test_job_anonymize_ip_scrubs_sinks(spark, tmp_path):
     """--anonymize-ip 1: every parsed IP landing in ANY sink column ends
     in .0 — including the token array, which carries the raw line's code
