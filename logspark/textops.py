@@ -924,3 +924,182 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.count("*").alias("fp_n"),
         F.min("h32").alias("fp_min"),
     )
+
+
+def temperature_mix(
+    df: DataFrame, id_col: str = "doc_id", stratum_col: str = "source"
+) -> DataFrame:
+    """Temperature-based stratum rebalancing (alpha = 0.5) — the source-
+    mixing step of a pretraining pipeline (mT5/Pile style): head sources
+    are downsampled and tail sources kept so the output mixture follows
+    n_s^alpha instead of the raw (often 60%-one-source) skew.
+
+    Per stratum s with n_s rows, weight w_s = floor(sqrt(n_s)); with a
+    total budget of B = N/2 rows the keep threshold is
+        thr_s = floor(B * w_s * 2^32 / (S * n_s)),   S = sum_s w_s,
+    and a row is kept iff h32(id) < thr_s, where h32 is the portable
+    md5-derived 32-bit hash. ALL arithmetic is BIGINT — no float sums, no
+    pow(): sqrt is IEEE correctly-rounded (bit-identical in Spark and
+    DuckDB) and its floor quantizes to an exact integer, so the oracle
+    reproduces the exact selected set, not an approximation. Expected kept
+    per stratum is B * w_s / S (capped at n_s when thr_s >= 2^32 —
+    tail strata are naturally kept whole).
+
+    Scale shape: stratum counts are a vocabulary-sized aggregate broadcast
+    back; the keep decision is a narrow per-row map — one tiny shuffle, no
+    corpus-sized join. Overflow headroom: B * w_s * 2^32 needs
+    B * w_s < 2^31; at 10^12-row scale drop the 2^32 scale factor into
+    the hash side (compare h32 * S * n_s DIV 2^32 against B * w_s) or use
+    DECIMAL(38,0) — same floor semantics."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    counts = counts.withColumn(
+        "w", F.expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)")
+    )
+    tot = counts.agg(F.sum("w").alias("s_w"), F.sum("n").alias("n_total"))
+    thr = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "thr", F.expr("((n_total DIV 2) * w * 4294967296) DIV (s_w * n)")
+        )
+        .select(stratum_col, "thr")
+    )
+    d = (
+        df.select(id_col, stratum_col)
+        .withColumn(
+            "dg", F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+        )
+        .withColumn("h", F.expr(ph.hex32_from_digest_sql("dg")))
+    )
+    return (
+        d.join(F.broadcast(thr), stratum_col)
+        .filter(F.col("h") < F.col("thr"))
+        .select(id_col, stratum_col)
+    )
+
+
+# (feature, weight) rows of the illustrative linear quality model scored by
+# model_quality_score — in production this is the exported weight vector of
+# a trained fastText/logreg quality classifier, shipped to executors the
+# same way (a broadcast two-column table).
+QUALITY_MODEL_WEIGHTS = [("n_chars", 1), ("n_words", -2), ("n_stop", 50)]
+
+
+def model_quality_score(docs: DataFrame, keep_threshold: int = 400) -> DataFrame:
+    """Model-based quality scoring: integer features unpivoted to long form
+    and dot-producted against a BROADCAST (feature, weight) table — the
+    distributed shape of linear-classifier scoring (fastText / logreg
+    quality filters in pretraining pipelines): the model is data, not
+    code, so retraining never touches the pipeline.
+
+    Integer-exact score (sum of int*int products — order-free), plus a
+    rational squash score/(1000+|score|) in place of the classic sigmoid:
+    one IEEE correctly-rounded division instead of exp(), so the double is
+    bit-identical cross-engine. keep_doc is the filter verdict.
+
+    Scale shape: per-row feature map (narrow) -> 3x explode via stack ->
+    broadcast-hash-join with the weight table -> one partial-aggregated
+    shuffle keyed by doc_id."""
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.expr(
+            "size(filter(split(text, ' '), w -> w = 'a' OR w = 'the'))"
+        ).alias("n_stop"),
+    )
+    long = feats.selectExpr(
+        "doc_id",
+        "stack(3, 'n_chars', n_chars, 'n_words', n_words, 'n_stop', n_stop)"
+        " AS (feat, weight_val)",
+    ).withColumnRenamed("weight_val", "val")
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        QUALITY_MODEL_WEIGHTS, "feat string, weight int"
+    )
+    s = (
+        long.join(F.broadcast(weights), "feat")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val").cast("bigint") * F.col("weight")).alias("score"))
+    )
+    return s.select(
+        "doc_id",
+        "score",
+        (
+            F.col("score").cast("double")
+            / (F.lit(1000).cast("double") + F.abs(F.col("score").cast("double")))
+        ).alias("squash"),
+        (F.col("score") > keep_threshold).alias("keep_doc"),
+    )
+
+
+# Portable PII patterns — the RE2/Java-regex common subset (no lookaround,
+# no backreferences), so Spark and the DuckDB oracle compile them identically.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\d{3}-\d{4}"
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII scrub over free text: count and redact emails, IPv4 addresses
+    and phone-shaped numbers (the privacy pass a corpus takes before
+    training, next to the log-side ip_anonymize). Replacement order is
+    email -> ip -> phone so the earlier, more specific redactions cannot
+    leave fragments the later patterns mis-match.
+
+    The synthetic corpus text contains no PII, so a deterministic
+    augmentation (email/ip/phone snippets derived from doc_id, with
+    per-class presence varying by doc_id residues) is applied first —
+    harness-side input synthesis, same pattern as the multimodal decode
+    oracles; the operator under test is the count+redact pipeline, which
+    runs over the augmented column exactly as it would over real text.
+
+    Scale shape: narrow per-row regex map, zero shuffles; regexp runs in
+    the JVM (whole-stage codegen), no Python on the path."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 > 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 223).cast("string"),
+                F.lit(".0."),
+                (d % 241).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" tel 555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    t = docs.select("doc_id", aug.alias("aug"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<TEL>",
+    )
+    # patterns passed as literal Columns (never through a SQL string, where
+    # backslashes would need a second level of escaping)
+    return t.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("aug"), F.lit(PII_EMAIL_RE), F.lit(0))
+        ).alias("n_email"),
+        F.size(
+            F.regexp_extract_all(F.col("aug"), F.lit(PII_IPV4_RE), F.lit(0))
+        ).alias("n_ip"),
+        F.size(
+            F.regexp_extract_all(F.col("aug"), F.lit(PII_PHONE_RE), F.lit(0))
+        ).alias("n_phone"),
+        F.length(clean).alias("clean_len"),
+    )

@@ -459,3 +459,63 @@ def test_minhash_estimate_identical_docs(docs):
     for r in out.values():
         assert 0 <= r["mh_agree"] <= textops.NUM_PERMS
         assert r["mh_est"] == r["mh_agree"] / textops.NUM_PERMS
+
+
+def test_temperature_mix_rebalances_skew(spark):
+    """alpha=0.5 mixing must keep a HIGHER fraction of tail strata than of
+    the head stratum, land near the B = N/2 budget, and be deterministic."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i}", "hot" if i % 10 < 8 else ("warm" if i % 10 < 9 else "cold"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    kept = textops.temperature_mix(df)
+    by_src = {r["source"]: r["cnt"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    n = {"hot": 1600, "warm": 200, "cold": 200}
+    frac = {s: by_src.get(s, 0) / n[s] for s in n}
+    assert frac["cold"] > frac["hot"] and frac["warm"] > frac["hot"]
+    total = sum(by_src.values())
+    assert abs(total - 1000) < 150  # binomial noise around the budget
+    again = textops.temperature_mix(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_pii_redact_clean_has_no_pii(spark):
+    """After redaction the cleaned text must contain zero matches of any
+    PII pattern (idempotence of the scrub)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "plain words here", "en", "s", 16) for i in range(12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 > 0, F.concat(F.lit(" contact user"), d.cast("string"),
+                                   F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit(" from 10."), (d % 223).cast("string"),
+                                    F.lit(".0."), (d % 241).cast("string"))
+               ).otherwise(F.lit("")),
+        F.lit(" tel 555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    clean = (
+        docs.select("doc_id", aug.alias("aug"))
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("aug"), textops.PII_EMAIL_RE, "<EMAIL>"),
+                    textops.PII_IPV4_RE, "<IP>"),
+                textops.PII_PHONE_RE, "<TEL>").alias("clean")
+        )
+    )
+    leftovers = clean.select(
+        (F.size(F.regexp_extract_all(F.col("clean"), F.lit(textops.PII_EMAIL_RE), F.lit(0)))
+         + F.size(F.regexp_extract_all(F.col("clean"), F.lit(textops.PII_IPV4_RE), F.lit(0)))
+         + F.size(F.regexp_extract_all(F.col("clean"), F.lit(textops.PII_PHONE_RE), F.lit(0)))
+         ).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert leftovers == 0
