@@ -403,3 +403,54 @@ def test_ivf_multiprobe_prunes_partitions_to_hamming_ball(spark, tmp_path_factor
     }
     got = {(r["vec_id"], round(r["cosine"], 9)) for r in probe.collect()}
     assert got == expect
+
+
+def _docs_df(spark, n: int = 40):
+    return spark.createDataFrame(
+        [
+            (i, f"the quick fox {i} a b", "en", f"s{i % 3}", 20)
+            for i in range(n)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_temperature_mix_keep_join_is_broadcast(spark):
+    """The per-row keep decision joins the corpus against a STRATUM-sized
+    threshold table: that join must be broadcast (the corpus never
+    shuffles on the stratum key — the only corpus-sized exchange allowed
+    is the stratum-count groupBy feeding the tiny threshold side)."""
+    from logspark import textops
+
+    txt = plan_text(textops.temperature_mix(_docs_df(spark)))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    # corpus-side row hash: JVM expressions only, no Python on the path
+    assert "EvalPython" not in txt
+
+
+def test_model_quality_score_weights_broadcast_one_shuffle(spark):
+    """Linear-model scoring: the (feature, weight) model table must be
+    BROADCAST to the unpivoted feature rows, and the score reduction must
+    be the single partially-aggregated doc_id shuffle — model size never
+    moves the corpus."""
+    from logspark import textops
+
+    txt = plan_text(textops.model_quality_score(_docs_df(spark)))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    assert txt.count("hashpartitioning(doc_id") == 1
+    assert "partial_sum" in txt  # map-side combine before the exchange
+
+
+def test_pii_redact_is_narrow_zero_shuffle(spark):
+    """The PII count+redact pass is a pure per-row map: zero exchanges,
+    zero joins, regexps in whole-stage codegen (no Python eval nodes)."""
+    from logspark import textops
+
+    txt = plan_text(textops.pii_redact(_docs_df(spark)))
+    assert shuffle_count(txt) == 0
+    assert "Join" not in txt
+    assert "EvalPython" not in txt
+    # formatted explain marks whole-stage-codegen nodes with a `*` prefix
+    assert "* Project" in txt
