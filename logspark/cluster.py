@@ -136,3 +136,50 @@ def neardup_clusters(pairs: DataFrame) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def cluster_representatives(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Quality-aware survivor selection: one row per near-dup cluster with
+    the member the pipeline should KEEP — the longest document (word
+    count, ties broken by smallest doc_id) rather than ``neardup_clusters``'s
+    arbitrary min-id canonical. Keeping the longest duplicate is the
+    standard curation policy when near-dups are truncations/excerpts of
+    one another: the longest member dominates the others' content.
+    Reference analog: clean_data's keep-one choice per retired group
+    (/root/reference/proc/clean_data.py:27-52), upgraded from arbitrary
+    to quality-ranked.
+
+    Returns (cluster_id, rep_doc_id, rep_n_words, cluster_size, n_dropped).
+
+    Scale shape: the cluster map is PAIR-derived — bounded by the verified
+    near-dup set (LSH banding + Jaccard>=0.7 verification keeps that a few
+    percent of the corpus), so it is broadcast onto the corpus scan and
+    the inner join prunes unclustered docs map-side without shuffling the
+    corpus. The rank-1 selection is a ROW_NUMBER window over cluster-sized
+    (not corpus-sized) data, partitioned on cluster_id. If a pathological
+    corpus made the cluster map outgrow the broadcast ceiling, dropping
+    the hint degrades to a plain doc_id equi-join — same semantics."""
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs)
+    members = docs.join(F.broadcast(cc), "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), F.col("doc_id")
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    reps = members.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return reps.join(sizes, "cluster_id").select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_words").alias("rep_n_words"),
+        "cluster_size",
+        (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+    )

@@ -1103,3 +1103,35 @@ def pii_redact(docs: DataFrame) -> DataFrame:
         ).alias("n_phone"),
         F.length(clean).alias("clean_len"),
     )
+
+
+def corpus_shuffle(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic seeded global shuffle for training order: every doc's
+    permutation key is the portable hash of 'shuffle:'||doc_id; shard =
+    key % n_shards; pos = the doc's rank within its shard ordered by
+    (key, doc_id). The data-loader reads shards round-robin in pos order
+    and sees a reproducible pseudo-random permutation of the corpus — the
+    training-order shuffle every pretraining job runs after curation,
+    with no rand(): re-runs, resumes and backfills emit the identical
+    order, and the DuckDB oracle computes the identical permutation.
+    Reference analog: the deterministic file-ordering contract of the
+    importer queue (lib_database.py get_recent_files ordering), lifted to
+    a content-addressed permutation.
+
+    Scale shape: ONE hash shuffle keyed by shard + an independent
+    within-shard sort — never a global total-order sort: the hash key is
+    uniform, so the n_shards partitions are balanced by construction (no
+    range-partition sampling pass, no skew), each shard sorts locally,
+    and shard files are the natural unit a loader consumes in parallel."""
+    from pyspark.sql.window import Window
+
+    d = docs.withColumn(
+        "dg", F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    ).withColumn("skey", F.expr(ph.hex32_from_digest_sql("dg")))
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.asc("skey"), F.asc("doc_id"))
+    )
+    return (
+        d.withColumn("shard", (F.col("skey") % n_shards).cast("int"))
+        .select("doc_id", "shard", "skey", pos.alias("pos"))
+    )

@@ -139,3 +139,57 @@ def test_unigram_surprisal_rare_words_score_higher(spark):
 
     per = math.floor(-math.log(4.0 / 6.0) * 1e6)
     assert out["common"]["surprisal_sum"] == per * 4
+
+
+def test_cluster_representatives_pick_longest_then_min_id(spark):
+    # {1,2,3}: doc 2 is longest (5 words) -> rep; {10,11}: 2-word tie ->
+    # min doc_id 10; unclustered doc 99 never appears
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c d e"),
+            (3, "a b c d"),
+            (10, "x y"),
+            (11, "p q"),
+            (99, "unclustered doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["cluster_id"]: (
+            r["rep_doc_id"],
+            r["rep_n_words"],
+            r["cluster_size"],
+            r["n_dropped"],
+        )
+        for r in cluster.cluster_representatives(pairs, docs).collect()
+    }
+    assert got == {1: (2, 5, 3, 2), 10: (10, 2, 2, 1)}
+
+
+def test_corpus_shuffle_deterministic_balanced_permutation(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(400)], "doc_id long, text string"
+    )
+    out = textops.corpus_shuffle(docs).collect()
+    # a permutation: every doc exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(400))
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    sizes = [len(v) for v in by_shard.values()]
+    # hash-uniform shards: all 16 present, none pathologically skewed
+    assert len(by_shard) == 16 and max(sizes) <= 3 * min(sizes)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r["skey"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+    # reproducible: identical permutation on a re-run
+    again = textops.corpus_shuffle(docs).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }

@@ -454,3 +454,28 @@ def test_pii_redact_is_narrow_zero_shuffle(spark):
     assert "EvalPython" not in txt
     # formatted explain marks whole-stage-codegen nodes with a `*` prefix
     assert "* Project" in txt
+
+
+def test_corpus_shuffle_one_hash_exchange_never_global_sort(spark):
+    """Training-order shuffle: exactly ONE exchange (hash on the shard id)
+    and per-shard local sorts — a rangepartitioning exchange would mean a
+    global total-order sort (sampling pass + skew exposure) crept in."""
+    from logspark import textops
+
+    txt = plan_text(textops.corpus_shuffle(_docs_df(spark)))
+    assert shuffle_count(txt) == 1
+    assert "rangepartitioning" not in txt.lower()
+    assert "Join" not in txt
+
+
+def test_cluster_representatives_broadcasts_cluster_map(spark):
+    """The pair-derived cluster map must broadcast onto the corpus scan —
+    the corpus never shuffles on doc_id for the members join."""
+    from logspark import cluster
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "z")], "doc_id long, text string"
+    )
+    txt = plan_text(cluster.cluster_representatives(pairs, docs))
+    assert "BroadcastHashJoin" in txt
