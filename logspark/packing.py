@@ -89,3 +89,63 @@ def pack_bins(
             (F.col("off") - F.col("bin_id") * seq_len) * F.col("tok_sum")
         ).alias("pack_checksum"),
     )
+
+
+def chunk_sequences(
+    corpus: DataFrame, chunk_len: int = 128, stride: int = 96
+) -> DataFrame:
+    """Sliding-window chunking of token arrays into fixed-length training
+    windows with overlap (``chunk_len`` tokens, step ``stride``, so
+    consecutive chunks share ``chunk_len - stride`` tokens of context) —
+    the other standard sequence-shaping policy next to ``pack_bins``:
+    packing concatenates short docs, chunking splits long ones. Every
+    token position is covered; the final chunk may be short. Emits one
+    row per chunk with an order-sensitive checksum (Σ token_j × j over
+    the chunk) so the cross-engine comparison pins the exact token
+    content and order of every window, not just counts.
+
+    Reference parity: the reference replays files in fixed-size line
+    batches (import loop, /root/reference/proc/load_logs.py) — this is
+    the same windowing contract lifted to token space.
+
+    Scale shape: zero shuffles. The per-doc chunk count is explode of a
+    bounded sequence (``1 + ceil((n_tok - chunk_len)/stride)``), the
+    slice/zip_with/aggregate HOFs are narrow JVM expressions, and no
+    stage needs global order — chunk identity is (doc_id, chunk_idx),
+    not a corpus-wide offset. 10^12 docs chunk embarrassingly parallel."""
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.col("n_tok") - chunk_len, F.lit(0)) / float(stride)
+    ).cast("int")
+    d = corpus.filter(F.col("n_tok") >= 1).select(
+        "doc_id",
+        "tokens",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.lit(1) + F.col("chunk_idx") * stride
+    n = F.least(F.lit(chunk_len), F.col("n_tok") - F.col("chunk_idx") * stride)
+    d = d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("chunk_start"),
+        n.cast("int").alias("chunk_n"),
+        F.slice("tokens", start, n).alias("chunk"),
+    )
+    checksum = F.aggregate(
+        F.zip_with(
+            "chunk",
+            F.sequence(F.lit(1), F.col("chunk_n")),
+            lambda x, j: x.cast("long") * j,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "chunk_n",
+        F.element_at("chunk", 1).alias("first_token"),
+        F.element_at("chunk", F.col("chunk_n")).alias("last_token"),
+        checksum.alias("chunk_checksum"),
+    )

@@ -1135,3 +1135,84 @@ def corpus_shuffle(docs: DataFrame, n_shards: int = 16) -> DataFrame:
         d.withColumn("shard", (F.col("skey") % n_shards).cast("int"))
         .select("doc_id", "shard", "skey", pos.alias("pos"))
     )
+
+
+def importance_resampling(
+    docs: DataFrame, n_buckets: int = 64, target_lang: str = "en"
+) -> DataFrame:
+    """DSIR-style importance resampling score (Xie et al. 2023): rank raw
+    documents by how target-like their hashed n-gram feature counts are.
+    Features are portable-hash buckets of word unigrams; the per-bucket
+    importance weight is the add-one-smoothed log-likelihood ratio
+
+        w_b = ln((t_b+1)/(T+B)) - ln((o_b+1)/(O+B))
+
+    between the target distribution (``lang = target_lang`` docs — the
+    curated subset a pipeline wants more of) and the REST of the corpus —
+    the contrastive in-domain-vs-out form of the GPT-3/DSIR quality
+    classifiers (target vs ALL would bias every weight by ln(O/T) when
+    the two corpora differ in size, making the sign meaningless). Each
+    doc's score is the sum of w over its word instances; ``keep`` marks
+    docs at least as target-like as not (score >= 0).
+
+    Float-parity design (same trick as unigram_surprisal): each w_b is
+    floored to integer MICRO-NATS before any corpus-sized sum, so per-doc
+    aggregation is an order-free integer sum; the ln/floor expression is
+    written in one fixed association order on both engines.
+
+    Scale shape: the feature table is B rows (64) — broadcast both ways;
+    the target/raw count aggregations collapse map-side to <= B rows per
+    task before their exchange; the only corpus-sized shuffle is the
+    per-doc score aggregation. At 10^12 docs the weight model is still
+    64 rows: the classifier is data, exactly like model_quality_score."""
+    w = (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == target_lang).alias("is_tgt"),
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .withColumn("dg", F.md5(F.concat(F.lit("dsir:"), F.col("word"))))
+    )
+    bl = w.select(
+        "doc_id",
+        "is_tgt",
+        (F.expr(ph.hex32_from_digest_sql("dg")) % n_buckets)
+        .cast("int")
+        .alias("bucket"),
+    )
+    b = bl.select("doc_id", "bucket")
+    spine = bl.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("oc"),
+    )
+    totals = spine.agg(
+        F.sum("tc").alias("T"), F.sum("oc").alias("O")
+    )
+    # ((ln(tc+1) - ln(T+B)) - ln(oc+1)) + ln(O+B), left-assoc in both engines
+    w_unat = F.floor(
+        (
+            F.log((F.col("tc") + 1).cast("double"))
+            - F.log((F.col("T") + n_buckets).cast("double"))
+            - F.log((F.col("oc") + 1).cast("double"))
+            + F.log((F.col("O") + n_buckets).cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    wt = spine.crossJoin(F.broadcast(totals)).select(
+        "bucket", w_unat.alias("w_unat")
+    )
+    return (
+        b.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("w_unat").alias("dsir_score_unat"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "dsir_score_unat",
+            (F.col("dsir_score_unat") >= 0).alias("keep"),
+        )
+    )

@@ -193,3 +193,29 @@ def test_corpus_shuffle_deterministic_balanced_permutation(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in out
     }
+
+
+def test_importance_resampling_target_like_docs_score_higher(spark):
+    # target (lang=en) docs use words {alpha, beta}; raw-only docs use
+    # {gamma, delta}: en-vocabulary docs must score higher and be kept
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "en"),
+            (2, "alpha beta beta", "en"),
+            (3, "gamma delta gamma", "xx"),
+            (4, "delta gamma delta", "xx"),
+            (5, "alpha beta alpha beta", "xx"),  # target-like but raw lang
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r for r in textops.importance_resampling(docs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["keep"] and out[2]["keep"]
+    assert not out[3]["keep"] and not out[4]["keep"]
+    # the target-vocabulary doc with raw lang is still kept: DSIR scores
+    # content, not provenance
+    assert out[5]["keep"]
+    assert out[1]["dsir_score_unat"] > out[3]["dsir_score_unat"]
+    assert out[1]["n_words"] == 3

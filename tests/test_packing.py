@@ -57,3 +57,41 @@ def test_pack_matches_naive_and_conserves(spark, chunk):
     assert [r["bin_id"] for r in by_bin] == list(range(len(by_bin)))
     for a, b in zip(by_bin, by_bin[1:]):
         assert a["last_doc"] < b["first_doc"]
+
+
+def test_chunk_sequences_windows_cover_and_overlap(spark):
+    # doc 1: 300 tokens -> chunks at starts 1, 97, 193 (ceil(172/96)=2, so
+    # 3 windows); doc 2: 50 tokens -> one short chunk; doc 3: exactly 128
+    # -> one full chunk
+    rows = [
+        (1, list(range(1, 301))),
+        (2, list(range(1, 51))),
+        (3, list(range(1, 129))),
+    ]
+    corpus = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id long, tokens array<int>, n_tok int",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in packing.chunk_sequences(corpus).collect()
+    }
+    assert sorted(out) == [(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)]
+    # full middle window of doc 1: tokens 97..224, checksum = sum (96+j)*j
+    mid = out[(1, 1)]
+    assert (mid["chunk_start"], mid["chunk_n"]) == (97, 128)
+    assert (mid["first_token"], mid["last_token"]) == (97, 224)
+    assert mid["chunk_checksum"] == sum((96 + j) * j for j in range(1, 129))
+    # tail window of doc 1 covers through the last token
+    tail = out[(1, 2)]
+    assert tail["chunk_start"] + tail["chunk_n"] - 1 == 300
+    assert tail["last_token"] == 300
+    # consecutive windows overlap by chunk_len - stride = 32 tokens
+    assert mid["chunk_start"] - out[(1, 0)]["chunk_start"] == 96
+    short = out[(2, 0)]
+    assert (short["chunk_n"], short["first_token"], short["last_token"]) == (
+        50,
+        1,
+        50,
+    )
+    assert out[(3, 0)]["chunk_n"] == 128

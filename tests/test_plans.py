@@ -479,3 +479,31 @@ def test_cluster_representatives_broadcasts_cluster_map(spark):
     )
     txt = plan_text(cluster.cluster_representatives(pairs, docs))
     assert "BroadcastHashJoin" in txt
+
+
+def test_chunk_sequences_zero_shuffle(spark):
+    """Chunking is embarrassingly parallel: explode + HOF slice/aggregate,
+    no exchange of any kind — chunk identity is (doc_id, chunk_idx), never
+    a corpus-wide offset."""
+    from logspark import packing
+
+    corpus = spark.createDataFrame(
+        [(1, list(range(200)), 200)],
+        "doc_id long, tokens array<int>, n_tok int",
+    )
+    txt = plan_text(packing.chunk_sequences(corpus))
+    assert shuffle_count(txt) == 0
+    assert "EvalPython" not in txt
+
+
+def test_importance_resampling_broadcasts_weight_model(spark):
+    """The 64-row DSIR weight table must broadcast onto the corpus-sized
+    word stream — the corpus never shuffles on bucket."""
+    from logspark import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "c d", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    txt = plan_text(textops.importance_resampling(docs))
+    assert "BroadcastHashJoin" in txt
