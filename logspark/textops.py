@@ -19,7 +19,7 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logspark import portable_hash as ph
@@ -29,10 +29,17 @@ from logspark import portable_hash as ph
 # ---------------------------------------------------------------------------
 
 
-def words_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, word — whitespace tokenization, order-free ops downstream."""
+def words_df(
+    docs: DataFrame, text_col: str = "text", carry: list[Column] | None = None
+) -> DataFrame:
+    """doc_id, word [+ carry cols] — whitespace tokenization, order-free ops
+    downstream. ``carry`` rides extra per-doc columns through the explode
+    (narrow — no join needed to re-attach doc metadata) so every word-level
+    operator shares this ONE tokenization rule."""
     return docs.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+        "doc_id",
+        *(carry or []),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
     ).filter(F.col("word") != "")
 
 
@@ -1122,7 +1129,11 @@ def corpus_shuffle(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     within-shard sort — never a global total-order sort: the hash key is
     uniform, so the n_shards partitions are balanced by construction (no
     range-partition sampling pass, no skew), each shard sorts locally,
-    and shard files are the natural unit a loader consumes in parallel."""
+    and shard files are the natural unit a loader consumes in parallel.
+    Sort parallelism IS n_shards (one reducer task per shard), so size it
+    to the cluster — production loaders use hundreds to thousands of
+    shards (n_shards ~ O(cores), each shard a memory-sized sort); the
+    default 16 keeps the sf-scale oracle and tests readable."""
     from pyspark.sql.window import Window
 
     d = docs.withColumn(
@@ -1165,15 +1176,9 @@ def importance_resampling(
     task before their exchange; the only corpus-sized shuffle is the
     per-doc score aggregation. At 10^12 docs the weight model is still
     64 rows: the classifier is data, exactly like model_quality_score."""
-    w = (
-        docs.select(
-            "doc_id",
-            (F.col("lang") == target_lang).alias("is_tgt"),
-            F.explode(F.split(F.col("text"), " ")).alias("word"),
-        )
-        .filter(F.col("word") != "")
-        .withColumn("dg", F.md5(F.concat(F.lit("dsir:"), F.col("word"))))
-    )
+    w = words_df(
+        docs, carry=[(F.col("lang") == target_lang).alias("is_tgt")]
+    ).withColumn("dg", F.md5(F.concat(F.lit("dsir:"), F.col("word"))))
     bl = w.select(
         "doc_id",
         "is_tgt",
