@@ -237,6 +237,51 @@ def ivf_topk_indexed_multiprobe(
     )
 
 
+def batch_topk_bucketed(
+    emb: DataFrame, n_queries: int = 16, k: int = 5, bits: int = 8
+) -> DataFrame:
+    """Batch ANN serving: EVERY query probes in ONE bucket equi-join.
+
+    The single-query probes (ivf_topk / ivf_topk_indexed) answer one vector
+    per job; the production shapes — dedup-against-index, retrieval-augmented
+    scoring, embedding-join between two corpora — arrive with MILLIONS of
+    query vectors at once. Issuing per-query scans would be Q jobs; the batch
+    form is one plan: both sides compute the same coarse sign bucket, a hash
+    equi-join on (bucket == qb) restricts scoring to same-bucket candidates
+    (the IVF pruning, expressed relationally), and a per-query window rank
+    keeps top-k. Here the query side (n_queries rows) is broadcast, so the
+    corpus never shuffles for the join; at large Q the IDENTICAL logical plan
+    degrades gracefully to a shuffled equi-join where each side exchanges on
+    the bucket key once — still never all-pairs. The only other exchange is
+    the candidate-set-sized window partition on q_id.
+
+    Same fold arithmetic (_dot_sql left fold) and (cosine DESC, vec_id) rank
+    tie-break as every other probe, so results are bit-identical to the
+    DuckDB oracle's unrolled-sum ROW_NUMBER form. Self-matches excluded
+    (vec_id != q_id) as in ann_recall_eval.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+        .withColumn("qn", F.expr(_norm_sql("qv")))
+        .withColumn("qb", sign_bucket_expr("qv", bits))
+    )
+    bucketed = emb.withColumn("bucket", sign_bucket_expr("embedding", bits))
+    cand = bucketed.join(
+        q, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id"))
+    )
+    sim = F.expr(_dot_sql("embedding", "qv")) / (
+        F.expr(_norm_sql("embedding")) * F.col("qn")
+    )
+    scored = cand.select("q_id", "vec_id", "label", sim.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
 def band_bucket_expr(col: str, band: int, bits_per_band: int):
     """Sign pattern of dims [band*r, band*r + r) as an int bucket id."""
     r = bits_per_band

@@ -209,3 +209,62 @@ def tokenize_map_in_arrow(df: DataFrame, line_col: str = "line") -> DataFrame:
 def token_invariant_violations(df: DataFrame) -> DataFrame:
     """Rows violating the n_tok == size(tokens) stage-boundary invariant."""
     return df.filter(F.size("tokens") != F.col("n_tok"))
+
+
+def ngram_dup_stats(corpus: DataFrame, k: int = 8) -> DataFrame:
+    """Token-level duplicated-n-gram statistics, computed DIRECTLY on the
+    pre-tokenized ``tokens`` array — no detokenization anywhere.
+
+    For each sequence: the number of distinct token k-grams it contains
+    (``n_win``), how many of those occur in at least one OTHER sequence
+    (``n_shared``), and their ratio (``dup_frac``). This is the token-domain
+    form of the Lee et al. 2021 duplicated-span signal (textops.
+    span_dedup_stats is the word-domain form over the documents table):
+    pre-training dedup pipelines run it on token ids, not text, because the
+    corpus IS token arrays (BASELINE.json input_hint) and the tokenizer is
+    not injective on whitespace/casing once normalizers run.
+
+    Spark shape — HOFs only, 3 shuffles, NO join:
+      * k-gram extraction is ``transform(sequence(...), i -> slice(tokens,
+        i, k))`` — a narrow per-row lambda producing array<int> keys; the
+        tokens column itself is never mutated (invariant preserved).
+      * distinct (doc_id, gram) pairs: shuffle 1 (hash on the pair).
+      * per-gram sequence count via an analytic COUNT over a window
+        partitioned by the gram — no orderBy, so no sort, and no
+        gram->count table is materialized to join back: shuffle 2.
+      * final groupBy doc_id: shuffle 3, map-side combined.
+    Skew: a corpus-hot boilerplate k-gram's partition holds one row per
+    distinct containing doc — bounded by document frequency, not corpus
+    size; at extreme scale swap the analytic count for a salted two-level
+    agg, exactly as span_dedup_stats documents.
+
+    dup_frac is ONE int/int division — bit-identical cross-engine. The
+    DuckDB oracle states the same computation over substr(line, i, k):
+    with the byte-level vocabulary a token k-gram bijects to a k-char
+    substring, so the oracle needs no list-of-int grouping.
+    """
+    grams = (
+        corpus.filter(F.col("n_tok") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(1, n_tok - {k} + 1), i -> slice(tokens, i, {k}))")
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    ndocs = F.count("*").over(Window.partitionBy("gram"))
+    return (
+        grams.withColumn("ndocs", ndocs)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_win"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_shared").cast("double") / F.col("n_win").cast("double"),
+        )
+    )

@@ -507,3 +507,37 @@ def test_importance_resampling_broadcasts_weight_model(spark):
     )
     txt = plan_text(textops.importance_resampling(docs))
     assert "BroadcastHashJoin" in txt
+
+
+def test_batch_topk_joins_on_bucket_query_side_broadcast(spark):
+    """batch_topk_bucketed must answer ALL queries in one bucket equi-join
+    (query side broadcast — the corpus never shuffles for the join; the
+    self-match exclusion rides as a residual condition, never a cartesian)
+    with the per-query rank as a window over the candidate set."""
+    from logspark import simsearch
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 5 + d) % 11) - 5.0 for d in range(simsearch.DIMS)], i % 3)
+         for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    txt = plan_text(simsearch.batch_topk_bucketed(emb, n_queries=8, k=3))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+    assert "Window" in txt
+
+
+def test_token_ngram_dup_stats_no_join(spark):
+    """tokens.ngram_dup_stats must stay join-free (the same designed-away
+    shape as span_dedup_stats: no gram->count table joined back) and keep
+    the k-gram extraction a narrow HOF over the tokens array."""
+    from logspark import tokens as tokens_mod
+
+    corpus = spark.createDataFrame(
+        [(str(i), "s", list(range(i % 4, i % 4 + 12)), 12) for i in range(30)],
+        "doc_id string, source string, tokens array<int>, n_tok int",
+    )
+    txt = plan_text(tokens_mod.ngram_dup_stats(corpus, k=8))
+    assert "Join" not in txt
+    assert "Window" in txt
