@@ -183,3 +183,80 @@ def cluster_representatives(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         "cluster_size",
         (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
     )
+
+
+# PageRank fixed-point scale: pr values live in [0, PR_SCALE] integer
+# micro-units. Bound check: every per-edge contribution multiplies
+# pr (<= 1e12) by an edge count before the integer divide, so BIGINT
+# (9.2e18) headroom caps edge counts at ~9e6 per edge at this scale —
+# raise the divide-before-multiply form or split the scale if a corpus
+# ever exceeds that (documented, not silently truncated).
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame, iters: int = 2, damping_pct: int = 85
+) -> DataFrame:
+    """Weighted PageRank over a (from_node, to_node, cnt) edge table in
+    exact scaled-integer FIXED POINT — the iterative-graph-algorithm
+    operator next to connected_components, in the same order-free
+    arithmetic regime as kmeans_update_fixedpoint: every mass transfer is
+    an integer ``(pr * cnt) DIV out_w`` computed per edge, so the
+    per-node SUM is a sum of integers — associative, order-free, and
+    therefore bit-reproducible at ANY parallelism (a float PageRank's
+    sums reorder under shuffle and drift run-to-run). The DuckDB oracle
+    replays every iteration value-for-value.
+
+    rank_{t+1}(v) = (100-d)% * (SCALE DIV n)  +  d% * sum over in-edges
+    (u,v) of (rank_t(u) * cnt(u,v)) DIV out_w(u), all integer ops.
+    Dangling-node mass (no out-edges) is dropped, not redistributed —
+    the deterministic simple variant; both engines state the same choice.
+
+    Scale shape: the edge table is an AGGREGATED transition graph
+    (taxonomy^2-bounded for event graphs; host-graph-sized for web
+    graphs), orders of magnitude smaller than the corpus that produced
+    it. Each iteration is one equi-join keyed on the from-node + one
+    sum shuffle keyed on the to-node — GraphX/Pregel's superstep shape
+    expressed relationally; nodes and the scalar n ride as broadcasts.
+    For billion-node graphs the same plan holds with the node map
+    bucketed on node id; nothing here is per-row Python.
+    """
+    base_lit = F.lit(PR_SCALE)
+    nodes = (
+        edges.select(F.col("from_node").alias("node"))
+        .union(edges.select(F.col("to_node").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count("*").alias("n"))
+    out_w = edges.groupBy("from_node").agg(F.sum("cnt").alias("out_w"))
+    keep = 100 - damping_pct
+    pr = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("node", F.expr(f"{PR_SCALE} DIV n").alias("pr_scaled"))
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                pr.withColumnRenamed("node", "from_node"), "from_node"
+            )
+            .join(out_w, "from_node")
+            .select(
+                F.col("to_node").alias("node"),
+                F.expr("(pr_scaled * cnt) DIV out_w").alias("c"),
+            )
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(s, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    F.expr(f"({keep} * ({PR_SCALE} DIV n)) DIV 100")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
+                ).alias("pr_scaled"),
+            )
+        )
+    return pr.withColumn(
+        "pr", F.col("pr_scaled").cast("double") / base_lit.cast("double")
+    )

@@ -541,3 +541,42 @@ def test_token_ngram_dup_stats_no_join(spark):
     txt = plan_text(tokens_mod.ngram_dup_stats(corpus, k=8))
     assert "Join" not in txt
     assert "Window" in txt
+
+
+def test_pagerank_broadcast_supersteps_order_free(spark):
+    """pagerank_fixedpoint's supersteps must be node-keyed EQUI-joins
+    (the shape that holds for billion-node graphs, bucketable on node id;
+    AQE converts them to broadcast at runtime when the graph is tiny) —
+    the only nested-loop joins allowed are the broadcast 1-row scalar-n
+    fan-outs, and no unconditioned CartesianProduct may appear. The
+    scaled-integer arithmetic must be ORDER-FREE: identical pr_scaled
+    values at different parallelism (the property a float PageRank does
+    not have)."""
+    from logspark import cluster
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2), ("c", "a", 5), ("a", "c", 1), ("d", "a", 2)],
+        "from_node string, to_node string, cnt long",
+    )
+    out = cluster.pagerank_fixedpoint(edges, iters=2)
+    txt = plan_text(out)
+    assert "CartesianProduct" not in txt
+    # every nested-loop node is a broadcast Cross fan-out of the 1-row n
+    # aggregate — no non-cross (conditioned) nested loop anywhere
+    import re
+
+    nlj = [
+        j for j in re.findall(r"BroadcastNestedLoopJoin[^\n(]*", txt) if j.strip() != "BroadcastNestedLoopJoin"
+    ]  # bare matches are detail-section headers, not tree nodes
+    assert nlj and all("Cross" in j for j in nlj), nlj
+    r1 = {r["node"]: r["pr_scaled"] for r in out.collect()}
+    r7 = {
+        r["node"]: r["pr_scaled"]
+        for r in cluster.pagerank_fixedpoint(edges.repartition(7), iters=2).collect()
+    }
+    assert r1 == r7
+    base = (15 * (cluster.PR_SCALE // 4)) // 100
+    assert set(r1) == {"a", "b", "c", "d"}
+    assert r1["d"] == base  # no in-edges -> base mass only
+    assert all(v >= base for v in r1.values())
+    assert sum(r1.values()) <= cluster.PR_SCALE  # dangling mass dropped, never created
