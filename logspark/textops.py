@@ -1221,3 +1221,125 @@ def importance_resampling(
             (F.col("dsir_score_unat") >= 0).alias("keep"),
         )
     )
+
+
+def setsim_prefix_join(docs: DataFrame, threshold_pct: int = 50) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08): every pair of
+    documents whose 2-word-shingle SETS have Jaccard >= t, with ZERO
+    false negatives by THEOREM, not by tuning — the exact counterpart of
+    the probabilistic MinHash-LSH path, for the places recall < 1 is
+    unacceptable (benchmark-contamination removal, catalog dedup).
+
+    Three provably-lossless prune rules, all integer-exact cross-engine:
+
+      * PREFIX filter: order the universe globally (ascending document
+        frequency, rarest first, shingle as tiebreak — the order that
+        makes prefixes maximally selective). If J(a,b) >= t then a and b
+        share an element inside each one's first n - ceil(t*n) + 1
+        elements of that order (if all common elements sat in a's last
+        ceil(t*n) - 1 positions, there would be fewer than t*n of them,
+        contradicting |a n b| >= t*|a|). ceil(t*n/100) is computed as
+        (n*t + 99) DIV 100.
+      * LENGTH filter: J >= t forces t*|a| <= 100*|b| (and symmetrically),
+        applied inside the candidate join.
+      * POSITIONAL filter (PPJoin): a shared prefix element at ranks
+        (i, j) bounds the overlap by 1 + min(na - i, nb - j); J >= t
+        needs overlap alpha with (100+t)*alpha >= t*(na+nb), so pairs
+        whose bound falls short are pruned before they ever materialize.
+
+    Verification joins the per-doc shingle ARRAYS (collect_set, one
+    vocab-bounded array per doc) onto the surviving candidates and takes
+    size(array_intersect(...)) — candidate-pair-sized, no re-explosion
+    of the shingle table. The final predicate is 100*inter >= t*union,
+    pure integers; the reported ``jac`` is one int/int division.
+
+    Scale shape: document frequency and per-doc rank are analytic
+    windows over the distinct (doc, shingle) pairs (no vocab table
+    joined back); the candidate equi-join is keyed on PREFIX shingles
+    only — by construction the rarest elements of each set, so per-key
+    groups are small exactly where a naive shingle join explodes. Exact
+    all-pairs semantics still costs what the true pair population costs:
+    run it on the bounded side (the benchmark split, a catalog) and keep
+    MinHash-LSH for open-corpus near-dup, as __spark_entry__ does."""
+    from pyspark.sql.window import Window
+
+    t = int(threshold_pct)
+    sh = shingles_df(docs, k=2).distinct()
+    base = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix = base.filter(
+        F.col("rn") <= F.col("n") - F.expr(f"(n * {t} + 99) DIV 100") + 1
+    ).select("doc_id", "shingle", "n", "rn")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n").alias("na"),
+        F.col("rn").alias("ra"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n").alias("nb"),
+        F.col("rn").alias("rb"),
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: size ratio within t
+            & (F.lit(t) * F.col("na") <= F.lit(100) * F.col("nb"))
+            & (F.lit(t) * F.col("nb") <= F.lit(100) * F.col("na"))
+            # positional filter: remaining-overlap upper bound must reach
+            # the required alpha: (100+t)*(1+min(na-ra, nb-rb)) >= t*(na+nb)
+            & (
+                F.lit(100 + t)
+                * (F.lit(1) + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")))
+                >= F.lit(t) * (F.col("na") + F.col("nb"))
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("sset"),
+        F.count("*").alias("n"),
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sset").alias("set_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sset").alias("set_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+        )
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.lit(100) * F.col("inter") >= F.lit(t) * F.col("union_sz"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "union_sz",
+            (F.col("inter").cast("double") / F.col("union_sz").cast("double")).alias("jac"),
+        )
+    )

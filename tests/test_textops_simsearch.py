@@ -519,3 +519,40 @@ def test_pii_redact_clean_has_no_pii(spark):
          ).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert leftovers == 0
+
+
+def test_setsim_prefix_join_complete_vs_bruteforce(spark):
+    """The prefix+length+positional filters must be LOSSLESS: on a
+    hostile corpus (identical pairs, boundary-Jaccard pairs, subset
+    pairs, disjoint docs, size-ratio violations) the result equals the
+    brute-force all-pairs Jaccard computed here in plain Python."""
+    rows = [
+        (0, "a b c d e f g h"),          # base
+        (1, "a b c d e f g h"),          # identical to 0 (J=1)
+        (2, "a b c d e f g x"),          # high overlap with 0
+        (3, "a b c d x y z w"),          # mid overlap
+        (4, "p q r s t u v w"),          # near-disjoint
+        (5, "a b c"),                    # short subset-ish (length filter)
+        (6, "a b c d e f g h i j k l m n o p"),  # 2x size of 0
+        (7, "z1 z2 z3 z4 z5 z6 z7 z8"),  # fully disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"])
+        for r in textops.setsim_prefix_join(docs, threshold_pct=50).collect()
+    }
+
+    def bigrams(t):
+        ws = t.split(" ")
+        return {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+
+    sets = {i: bigrams(t) for i, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if 100 * i >= 50 * u:
+                    want[(a, b)] = (i, u)
+    assert got == want and (0, 1) in want
