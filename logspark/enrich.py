@@ -89,3 +89,69 @@ def anonymize_ip(ip_col: str = "ip", keep_octets: int = 3) -> Column:
     return F.when(
         F.col(ip_col).isNull(), F.lit(None).cast("string")
     ).otherwise(F.concat_ws(".", *kept, *zeros))
+
+
+# ---------------------------------------------------------------------------
+# Referrer attribution (Matomo Referrers dimension)
+# ---------------------------------------------------------------------------
+
+# Search-engine registry: host -> engine name. In Matomo this is the
+# bundled SearchEngines.yml shipped as DATA and updated without a code
+# deploy; here it is a deterministic dimension table the tests and the
+# DuckDB oracle state independently. Table-driven (broadcast join), not a
+# baked-in CASE, for exactly that reason.
+SEARCH_ENGINES: list[tuple[str, str]] = [
+    ("ref-3.example.com", "findex"),
+    ("ref-9.example.com", "searchly"),
+    ("ref-17.example.com", "querymax"),
+    ("ref-23.example.com", "lookup.io"),
+    ("ref-31.example.com", "webseek"),
+    ("ref-42.example.com", "hoozit"),
+]
+
+
+def search_engine_table(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(SEARCH_ENGINES, "host string, engine string")
+
+
+def referrer_host(ref_col: str = "referrer") -> Column:
+    """Host part of the referrer URL — one anchored regex, JVM-side."""
+    h = F.regexp_extract(F.col(ref_col), r"^https?://([^/?#]+)", 1)
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def with_referrer_attribution(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Matomo referrer detection over parsed hits.
+
+    Appends (referrer_type, referrer_name):
+      * direct  — no referrer on the hit ('-' in the log, or a format
+        that doesn't carry one); name is NULL.
+      * search  — referrer host is in the search-engine registry; name is
+        the engine name. (Keyword extraction from the referrer's query
+        string is the same `parse_url`-style regex once referrers carry
+        queries; the synthetic corpus' referrers don't, so the column
+        would be all-NULL noise here.)
+      * website — any other referrer host; name is the host.
+
+    Plan: broadcast HASH join on the extracted host (the registry is
+    dimension-sized); everything else is narrow column work — scales as a
+    map-side lookup at any corpus size.
+    """
+    eng = F.broadcast(search_engine_table(spark))
+    df = df.withColumn("_rhost", referrer_host())
+    df = df.join(eng, df["_rhost"] == eng["host"], "left")
+    return (
+        df.withColumn(
+            "referrer_type",
+            F.when(F.col("_rhost").isNull(), "direct")
+            .when(F.col("engine").isNotNull(), "search")
+            .otherwise("website"),
+        )
+        .withColumn(
+            "referrer_name",
+            F.when(F.col("engine").isNotNull(), F.col("engine")).otherwise(
+                F.when(F.col("referrer_type") == "website", F.col("_rhost"))
+            ),
+        )
+        .drop("_rhost", "host", "engine")
+    )

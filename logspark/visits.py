@@ -1,0 +1,90 @@
+"""Visit reconstruction: sessionize routed hits into Matomo-model visits.
+
+Matomo's tracker groups a visitor's hits into a *visit* that ends after 30
+minutes of inactivity (the `visit_standard_length` setting); import_logs
+replays log lines into that model and the reports count visits, actions
+per visit, and bounces (single-action visits). The reference pipeline
+stops at per-sink hit counts and delegates the visit model to the Matomo
+server (/root/reference/libs/lib_summary.py:33-119 reconciles *lines*, not
+visits) — this module supplies the Spark-native visit layer so the same
+reports come straight off the routed corpus.
+
+Shape & scale:
+  * visitor key = (ip, user_agent) — Matomo's config-id fallback when no
+    cookie is present, which is always the case for log replay.
+  * one shuffle on the visitor key; within each key the inactivity split
+    is a lag + running-sum window (no join, no self-merge). At 10^12 rows
+    the partition count follows the visitor-key cardinality, which is
+    corpus-sized; a single hot visitor (NAT egress, a scraper) bounds the
+    partition at that visitor's hit count — if that ever dominates, split
+    the key by day first (visits never span days in the report anyway and
+    a >30-min gap at the day boundary is the overwhelmingly common case).
+  * time is integer seconds-within-month derived from the parsed
+    timestamp FIELDS (TZ-free: identical wall-clock math in any engine;
+    never an instant comparison through a session zone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+VISIT_GAP_S = 30 * 60  # Matomo visit_standard_length
+
+
+def _tsec() -> F.Column:
+    """Seconds since the start of the month, from parsed ts fields."""
+    return (
+        (F.dayofmonth("ts") * 24 + F.hour("ts")) * 60 + F.minute("ts")
+    ) * 60 + F.second("ts")
+
+
+def sessionize_hits(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+    """Assign ``visit_id`` (per visitor key) to parsed hits.
+
+    df needs (ip, user_agent, ts, doc_id). Ties on the same second are
+    broken by doc_id so the running sum is a total order — without that,
+    two engines can disagree on which tied row opens the visit.
+    """
+    df = df.withColumn("ua_k", F.coalesce("user_agent", F.lit(""))).withColumn(
+        "tsec", _tsec()
+    )
+    w = Window.partitionBy("ip", "ua_k").orderBy("tsec", "doc_id")
+    is_new = (
+        F.when(F.lag("tsec").over(w).isNull(), 1)
+        .when(F.col("tsec") - F.lag("tsec").over(w) > gap_s, 1)
+        .otherwise(0)
+    )
+    return df.withColumn("is_new", is_new).withColumn(
+        "visit_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def visit_daily_stats(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+    """Per day-of-month visit report: visits, bounces, actions.
+
+    A visit is attributed to the day of its FIRST hit (Matomo semantics).
+    Two aggregations: hits -> visits (on the visitor+visit key), then
+    visits -> days; both map-side-combinable, no window after the first.
+    """
+    s = sessionize_hits(df, gap_s)
+    visits = s.groupBy("ip", "ua_k", "visit_id").agg(
+        F.count("*").alias("n_actions"),
+        F.min("tsec").alias("first_tsec"),
+    )
+    return (
+        visits.withColumn(
+            "dom", F.floor(F.col("first_tsec") / 86400).cast("int")
+        )
+        .groupBy("dom")
+        .agg(
+            F.count("*").alias("n_visits"),
+            F.sum(F.when(F.col("n_actions") == 1, 1).otherwise(0)).alias(
+                "n_bounces"
+            ),
+            F.sum("n_actions").alias("total_actions"),
+        )
+    )

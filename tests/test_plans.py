@@ -580,3 +580,31 @@ def test_pagerank_broadcast_supersteps_order_free(spark):
     assert r1["d"] == base  # no in-edges -> base mass only
     assert all(v >= base for v in r1.values())
     assert sum(r1.values()) <= cluster.PR_SCALE  # dangling mass dropped, never created
+
+
+def test_referrer_attribution_is_broadcast(spark, corpus_parquet):
+    """The search-engine registry lookup must be a broadcast hash join on
+    the extracted host — never a shuffled join against a 6-row dim."""
+    from logspark import enrich, parse, pipeline
+
+    df = pipeline.detokenized(spark.read.parquet(corpus_parquet))
+    df = parse.parse_lines(df, "line")
+    df = enrich.with_referrer_attribution(df, spark)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_visit_stats_single_visitor_shuffle(spark, corpus_parquet):
+    """Sessionization shuffles ONCE on the visitor key; the two follow-up
+    aggregations must not add a second wide exchange of the hit rows
+    (visit grouping reuses the window's partitioning; only the final
+    day-of-month rollup of visit-sized rows may repartition)."""
+    from logspark import parse, pipeline, visits
+
+    df = pipeline.detokenized(spark.read.parquet(corpus_parquet))
+    df = parse.parse_lines(df, "line").filter("parsed_ok")
+    out = visits.visit_daily_stats(df)
+    txt = plan_text(out)
+    # one exchange for (ip, ua_k) window+group, one for the tiny dom rollup
+    assert shuffle_count(txt) <= 2, txt
