@@ -1343,3 +1343,51 @@ def setsim_prefix_join(docs: DataFrame, threshold_pct: int = 50) -> DataFrame:
             (F.col("inter").cast("double") / F.col("union_sz").cast("double")).alias("jac"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, top_k: int = 20
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    PMI(w1,w2) = ln(p(w1 w2) / (p(w1) p(w2))) over the corpus LM counts.
+    The classic collocation-extraction pass (Church & Hanks 1990) a
+    training-data pipeline runs to find multiword units worth protecting
+    from tokenizer splits and to profile domain phraseology.
+
+    Float parity (same discipline as unigram/bigram_surprisal): PMI is ONE
+    ln of ONE division of two exact int64 products — no float sums, no
+    association-order exposure — floored into micro-nats. Scale shape: the
+    count tables are vocabulary-sized and broadcast; the totals are 1-row
+    cross joins; the result is a TakeOrderedAndProject (never a global
+    sort of the bigram table). At web scale the |V|^2 bigram-count join
+    flips to a shuffle equi-join on the bigram key, exactly as
+    bigram_surprisal documents."""
+    w = words_df(docs)
+    wfreq = w.groupBy("word").agg(F.count("*").alias("wf"))
+    wtot = w.select(F.count("*").alias("w_total"))
+    bg = shingles_df(docs, k=2)
+    btot = bg.select(F.count("*").alias("b_total"))
+    parts = F.split(F.col("shingle"), " ")
+    bfreq = (
+        bg.groupBy("shingle")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+    )
+    f1 = wfreq.select(F.col("word").alias("w1"), F.col("wf").alias("wf1"))
+    f2 = wfreq.select(F.col("word").alias("w2"), F.col("wf").alias("wf2"))
+    num = F.col("cnt") * F.col("w_total") * F.col("w_total")
+    den = F.col("b_total") * F.col("wf1") * F.col("wf2")
+    pmi_unat = F.floor(
+        F.log(num.cast("double") / den) * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        bfreq.join(F.broadcast(f1), "w1")
+        .join(F.broadcast(f2), "w2")
+        .crossJoin(F.broadcast(wtot))
+        .crossJoin(F.broadcast(btot))
+        .select("shingle", "cnt", pmi_unat.alias("pmi_unat"))
+        .orderBy(F.col("pmi_unat").desc(), "shingle")
+        .limit(top_k)
+    )

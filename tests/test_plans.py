@@ -608,3 +608,18 @@ def test_visit_stats_single_visitor_shuffle(spark, corpus_parquet):
     txt = plan_text(out)
     # one exchange for (ip, ua_k) window+group, one for the tiny dom rollup
     assert shuffle_count(txt) <= 2, txt
+
+
+def test_pmi_collocations_takeordered_no_global_sort(spark, small_corpus):
+    """Top-k by PMI must be TakeOrderedAndProject over broadcast-joined
+    vocabulary counts — never a global Sort of the bigram table."""
+    from logspark import textops
+
+    docs = small_corpus.selectExpr(
+        "doc_id", "concat_ws(' ', transform(tokens, t -> chr(t))) AS text"
+    )
+    out = textops.pmi_collocations(docs)
+    txt = plan_text(out)
+    assert "TakeOrderedAndProject" in txt
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
