@@ -88,3 +88,85 @@ def visit_daily_stats(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
             F.sum("n_actions").alias("total_actions"),
         )
     )
+
+def entry_exit_pages(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+    """Matomo Actions > Entry/Exit pages: per stem, how many visits ENTER
+    on it (first action) and how many EXIT on it (last action).
+
+    The reference pipeline stops at per-sink hit counts; Matomo's server
+    derives this report from the visit model (same 30-min sessionization
+    as visit_daily_stats). Shape: the per-visit entry/exit stems fall out
+    of ONE aggregation on the visitor+visit key — `min(struct(tsec,
+    doc_id, stem))` picks the first action without a window (struct
+    ordering is lexicographic and (tsec, doc_id) is a total order within
+    the visit, so the stem component never decides). The per-visit rows
+    (corpus-sized / visit length) then UNION their entry and exit sides
+    and aggregate per stem — two shuffles total, both map-side
+    combinable; no join.
+
+    100 TB: visit count ~= corpus rows / actions-per-visit; both
+    aggregations are plain hash aggs on corpus-cardinality keys. The
+    skew note on sessionize_hits (hot NAT visitor) applies unchanged.
+    """
+    s = sessionize_hits(df, gap_s)
+    g = s.groupBy("ip", "ua_k", "visit_id").agg(
+        F.min(F.struct("tsec", "doc_id", "stem")).alias("e"),
+        F.max(F.struct("tsec", "doc_id", "stem")).alias("x"),
+    )
+    sides = g.select(
+        F.col("e.stem").alias("stem"),
+        F.lit(1).alias("n_entry"),
+        F.lit(0).alias("n_exit"),
+    ).unionAll(
+        g.select(
+            F.col("x.stem").alias("stem"),
+            F.lit(0).alias("n_entry"),
+            F.lit(1).alias("n_exit"),
+        )
+    )
+    return sides.groupBy("stem").agg(
+        F.sum("n_entry").alias("n_entries"),
+        F.sum("n_exit").alias("n_exits"),
+    )
+
+
+# Matomo core's VisitorInterest duration buckets (config/general.php
+# 'visit_length' ranges) — upper bound in seconds, label.
+DURATION_BUCKETS = [
+    (10, "0-10s"),
+    (30, "11-30s"),
+    (60, "31-60s"),
+    (300, "1-5min"),
+    (600, "5-10min"),
+    (900, "10-15min"),
+    (1800, "15-30min"),
+]
+
+
+def visit_duration_buckets(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+    """Matomo VisitorInterest: distribution of visit lengths over the
+    standard duration buckets (plus '30min+').
+
+    duration = last-action tsec - first-action tsec (Matomo's
+    visit_total_time without the final-action dwell estimate, which log
+    replay cannot know). One agg to per-visit min/max, one CASE, one
+    count per bucket — the bucket table is a CASE expression, not a
+    join, so nothing is broadcast and the plan is two hash aggs.
+    """
+    s = sessionize_hits(df, gap_s)
+    g = s.groupBy("ip", "ua_k", "visit_id").agg(
+        (F.max("tsec") - F.min("tsec")).alias("dur_s"),
+    )
+    bucket = F.when(F.col("dur_s") <= DURATION_BUCKETS[0][0],
+                    F.lit(DURATION_BUCKETS[0][1]))
+    for hi, label in DURATION_BUCKETS[1:]:
+        bucket = bucket.when(F.col("dur_s") <= hi, F.lit(label))
+    bucket = bucket.otherwise(F.lit("30min+"))
+    return (
+        g.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_visits"),
+            F.sum("dur_s").alias("total_s"),
+        )
+    )

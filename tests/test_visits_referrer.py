@@ -81,3 +81,101 @@ def test_referrer_attribution_classes(spark):
     assert out[2] == ("search", "findex")
     assert out[3] == ("search", "findex")
     assert out[4] == ("website", "ref-4.example.com")
+
+
+def _hits_stem(spark, rows):
+    """rows: (doc_id, ip, stem, sec_offset) -> parsed-hit df (one UA)."""
+    base = datetime.datetime(2024, 3, 5, 10, 0, 0)
+    data = [
+        (d, ip, "ua", stem, base + datetime.timedelta(seconds=sec))
+        for (d, ip, stem, sec) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "doc_id long, ip string, user_agent string, stem string, "
+        "ts timestamp",
+    )
+
+
+def test_entry_exit_pages_first_and_last_action(spark):
+    from logspark import visits
+
+    # one visit /a -> /b -> /c ; one bounce on /b (entry AND exit)
+    df = _hits_stem(
+        spark,
+        [
+            (1, "1.1.1.1", "/a", 0),
+            (2, "1.1.1.1", "/b", 60),
+            (3, "1.1.1.1", "/c", 120),
+            (4, "2.2.2.2", "/b", 0),
+        ],
+    )
+    out = {r["stem"]: r for r in visits.entry_exit_pages(df).collect()}
+    assert (out["/a"]["n_entries"], out["/a"]["n_exits"]) == (1, 0)
+    assert (out["/b"]["n_entries"], out["/b"]["n_exits"]) == (1, 1)
+    assert (out["/c"]["n_entries"], out["/c"]["n_exits"]) == (0, 1)
+
+
+def test_entry_exit_same_second_tie_breaks_on_doc_id(spark):
+    from logspark import visits
+
+    # two hits in the SAME second: doc_id decides entry vs exit, so both
+    # engines (struct-min vs row_number oracle) agree on a total order
+    df = _hits_stem(
+        spark, [(9, "1.1.1.1", "/late", 0), (2, "1.1.1.1", "/early", 0)]
+    )
+    out = {r["stem"]: r for r in visits.entry_exit_pages(df).collect()}
+    assert out["/early"]["n_entries"] == 1
+    assert out["/late"]["n_exits"] == 1
+
+
+def test_visit_duration_buckets_boundaries(spark):
+    from logspark import visits
+
+    # durations: 0s (bounce), 10s (edge of 0-10s), 11s (11-30s), 3000s
+    # within one visit would split at >1800s gaps, so build via 2-hit
+    # visits with distinct visitors
+    df = _hits_stem(
+        spark,
+        [
+            (1, "1.1.1.1", "/x", 0),
+            (2, "2.2.2.2", "/x", 0),
+            (3, "2.2.2.2", "/x", 10),
+            (4, "3.3.3.3", "/x", 0),
+            (5, "3.3.3.3", "/x", 11),
+            (6, "4.4.4.4", "/x", 0),
+            (7, "4.4.4.4", "/x", 1700),
+        ],
+    )
+    out = {r["bucket"]: r for r in visits.visit_duration_buckets(df).collect()}
+    assert out["0-10s"]["n_visits"] == 2  # the 0s bounce + the 10s visit
+    assert out["0-10s"]["total_s"] == 10
+    assert out["11-30s"]["n_visits"] == 1
+    assert out["15-30min"]["n_visits"] == 1
+
+
+def test_site_search_param_priority_and_outlink_host(spark):
+    from logspark import actions
+
+    df = spark.createDataFrame(
+        [
+            (1, "1.1.1.1", "q=alpha&search=beta", "page", True),
+            (2, "1.1.1.1", "search=beta", "page", True),
+            (3, "2.2.2.2", "searchword=", "page", True),  # empty: no search
+            (4, "2.2.2.2", "to=https://ext.example.org/x?y", "outlink", True),
+            (5, "3.3.3.3", "to=http://ext.example.org", "outlink", True),
+            (6, "3.3.3.3", "to=http://other.org/", "outlink", False),
+        ],
+        "doc_id long, ip string, query string, route string, parsed_ok boolean",
+    )
+    kw = {r["keyword"]: r for r in actions.site_search_keywords(df).collect()}
+    # q= outranks search= on row 1 (Matomo param priority)
+    assert kw["alpha"]["n_searches"] == 1
+    assert kw["beta"]["n_searches"] == 1
+    assert set(kw) == {"alpha", "beta"}
+
+    dom = {r["domain"]: r for r in actions.outlink_domains(df).collect()}
+    # host stops at / and ?; unparsed row 6 excluded
+    assert set(dom) == {"ext.example.org"}
+    assert dom["ext.example.org"]["n_hits"] == 2
+    assert dom["ext.example.org"]["n_ips"] == 2
