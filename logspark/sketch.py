@@ -298,3 +298,142 @@ exact AS (SELECT DISTINCT md5({key}) AS _dg FROM ({history_rel}) h2)
 SELECT h.doc_id AS doc_id, h.bloom_hit AS bloom_hit,
        e._dg IS NOT NULL AS present
 FROM hit h LEFT JOIN exact e USING (_dg)"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) — deterministic +
+# portable
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p=6); std error ~= 1.04/sqrt(64) ~= 13%
+HLL_ALPHA = 0.709  # alpha_64 (the m=64 bias constant from the paper)
+HLL_MAXRHO = 27  # 26-bit suffix -> rho in [1,27]; 27 = all-zero suffix
+_HLL_POW = 50  # register sum kept integer-exact: 2^(50 - rho) per register
+
+
+def _hll_rho_sql(v: str) -> str:
+    """Portable CASE for rho = 1 + trailing zeros of ``v`` (FM-style bit
+    pattern; geometric like the leading-zero variant, so the HLL estimator
+    constants apply unchanged). Lowest set bit at position k-1 iff the low
+    k bits equal exactly 2^(k-1) — pure modulo arithmetic, no log2/shift
+    (CAST(double AS INT) truncates in Spark but ROUNDS in DuckDB, so a
+    log2-based rho would silently diverge cross-engine at ulp boundaries).
+    """
+    branches = " ".join(
+        f"WHEN {v} % {2 ** k} = {2 ** (k - 1)} THEN {k}"
+        for k in range(1, HLL_MAXRHO)
+    )
+    return f"CASE {branches} ELSE {HLL_MAXRHO} END"
+
+
+def _hll_pow_sql(rho: str) -> str:
+    """Portable CASE: 2^(_HLL_POW - rho) as a BIGINT literal table (again
+    no pow(): float pow is exact on these values but the CAST semantics
+    differ cross-engine)."""
+    branches = " ".join(
+        f"WHEN {rho} = {k} THEN {2 ** (_HLL_POW - k)}"
+        for k in range(1, HLL_MAXRHO + 1)
+    )
+    return f"CASE {branches} END"
+
+
+def _hll_core_sql(rel: str, group: str, col: str) -> str:
+    """Shared portable SQL (runs verbatim in Spark SQL and DuckDB):
+    rel(group, col) -> (group, registers_hit, reg_sum) where reg_sum =
+    sum over NON-EMPTY registers of 2^(50 - max_rho). The (64 -
+    registers_hit) empty registers contribute 2^50 each; added in the
+    estimate step so reg_sum stays a pure aggregation output."""
+    h32 = ph.hex32_from_digest_sql("_dg")
+    suffix = f"CAST((_h - (_h % {HLL_M})) / {HLL_M} AS BIGINT)"
+    return f"""
+WITH d0 AS (SELECT {group} AS g, md5({col}) AS _dg
+            FROM {rel} WHERE {col} IS NOT NULL),
+h AS (SELECT g, {h32} AS _h FROM d0),
+r AS (SELECT g, _h % {HLL_M} AS reg, {_hll_rho_sql(suffix)} AS rho FROM h),
+m AS (SELECT g, reg, MAX(rho) AS max_rho FROM r GROUP BY g, reg)
+SELECT g, COUNT(*) AS registers_hit,
+       SUM({_hll_pow_sql("max_rho")}) AS reg_sum
+FROM m GROUP BY g"""
+
+
+# alpha * m^2 * 2^50 as ONE Python-formatted double literal so both
+# engines parse the identical constant (shortest-round-trip repr)
+_HLL_NUM = repr(HLL_ALPHA * HLL_M * HLL_M * float(2**_HLL_POW))
+
+import math as _math
+
+
+def _hll_lc_sql(v: str) -> str:
+    """Small-range (linear counting) correction as a LITERAL lookup: the
+    paper's m*ln(m/V) over the empty-register count V has only m-1
+    possible inputs, so every value is precomputed in Python and emitted
+    as a shortest-round-trip double literal — the correction costs no
+    runtime ln() and stays bit-identical cross-engine."""
+    branches = " ".join(
+        f"WHEN {v} = {V} THEN {_math.log(HLL_M / V) * HLL_M!r}"
+        for V in range(1, HLL_M)
+    )
+    return f"CASE {branches} END"
+
+
+def _hll_est_expr() -> str:
+    """Portable estimate expression over columns (registers_hit, reg_sum):
+    raw HLL alpha*m^2 / sum(2^-M_j) — empty registers contribute 2^-0 = 1,
+    i.e. 2^50 in the scaled-integer sum, so the whole divisor is an exact
+    BIGINT and the raw estimate is ONE double division, bit-identical
+    cross-engine. Below the paper's 2.5m threshold with empty registers
+    present, the linear-counting correction applies (literal lookup, see
+    _hll_lc_sql); the threshold compare runs on the bit-identical raw
+    double, so both engines take the same branch."""
+    empty = f"({HLL_M} - registers_hit)"
+    raw = f"({_HLL_NUM} / (reg_sum + {empty} * {2 ** _HLL_POW}))"
+    return f"""CASE WHEN {raw} <= {2.5 * HLL_M!r} AND {empty} > 0
+       THEN {_hll_lc_sql(empty)} ELSE {raw} END"""
+
+
+def _hll_estimate_sql(core: str, group: str) -> str:
+    return f"""
+SELECT g AS {group}, registers_hit, reg_sum AS hll_reg_sum,
+       {_hll_est_expr()} AS hll_estimate
+FROM ({core}) c"""
+
+
+def hll_distinct(df: DataFrame, group: str, col: str) -> DataFrame:
+    """Per-group deterministic HLL distinct estimate
+    (group, registers_hit, hll_reg_sum, hll_estimate) — built from the
+    SAME portable-SQL snippets the DuckDB oracle runs, via F.expr.
+
+    Scale shape vs kmv_distinct: the KMV sketch shuffles DISTINCT
+    (group, hash) then windows; HLL never materializes distincts at all —
+    two hash aggregations with 64-bounded state per group (map-side
+    combine does the (group, reg)-max locally), which is the sketch to
+    reach for when the distinct set itself is too big to shuffle at
+    10^12 rows.
+    """
+    suffix = f"CAST((_h - (_h % {HLL_M})) / {HLL_M} AS BIGINT)"
+    h = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group), F.md5(F.col(col)).alias("_dg"))
+        .withColumn("_h", F.expr(ph.hex32_from_digest_sql("_dg")))
+        .select(
+            group,
+            F.expr(f"_h % {HLL_M}").alias("reg"),
+            F.expr(_hll_rho_sql(suffix)).alias("rho"),
+        )
+    )
+    m = h.groupBy(group, "reg").agg(F.max("rho").alias("max_rho"))
+    agg = m.groupBy(group).agg(
+        F.count("*").alias("registers_hit"),
+        F.sum(F.expr(_hll_pow_sql("max_rho"))).alias("reg_sum"),
+    )
+    return agg.select(
+        group,
+        "registers_hit",
+        F.col("reg_sum").alias("hll_reg_sum"),
+        F.expr(_hll_est_expr()).alias("hll_estimate"),
+    )
+
+
+def duck_hll_sql(rel: str, group: str, col: str) -> str:
+    """DuckDB oracle: the very same SQL text over the oracle relation."""
+    return _hll_estimate_sql(_hll_core_sql(rel, group, col), group)

@@ -556,3 +556,34 @@ def test_setsim_prefix_join_complete_vs_bruteforce(spark):
                 if 100 * i >= 50 * u:
                     want[(a, b)] = (i, u)
     assert got == want and (0, 1) in want
+
+
+def test_hll_estimate_tracks_distinct_and_is_bounded(spark):
+    from logspark import sketch
+
+    # group A: 500 distinct values (past linear-counting range for some
+    # registers); group B: exactly 3 distinct values, repeated
+    rows = [("A", f"val-{i}") for i in range(500)] + [
+        ("B", f"v-{i % 3}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in sketch.hll_distinct(df, "g", "v").collect()}
+    assert out["A"]["registers_hit"] <= sketch.HLL_M
+    # m=64 HLL has ~13% std error; 35% is a 2.7-sigma bound
+    assert abs(out["A"]["hll_estimate"] - 500) / 500 < 0.35
+    # tiny group: linear counting keeps the estimate near-exact
+    assert abs(out["B"]["hll_estimate"] - 3) < 2
+    assert out["B"]["registers_hit"] <= 3
+
+
+def test_hll_ignores_nulls_and_is_insensitive_to_duplication(spark):
+    from logspark import sketch
+
+    base = [("G", f"x-{i}") for i in range(100)]
+    df1 = spark.createDataFrame(base + [("G", None)], "g string, v string")
+    df2 = spark.createDataFrame(base * 5, "g string, v string")
+    e1 = sketch.hll_distinct(df1, "g", "v").collect()[0]
+    e2 = sketch.hll_distinct(df2, "g", "v").collect()[0]
+    # the sketch is a function of the distinct value SET only
+    assert e1["hll_reg_sum"] == e2["hll_reg_sum"]
+    assert e1["hll_estimate"] == e2["hll_estimate"]
