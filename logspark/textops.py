@@ -1391,3 +1391,56 @@ def pmi_collocations(
         .orderBy(F.col("pmi_unat").desc(), "shingle")
         .limit(top_k)
     )
+
+
+def source_unigram_kl(docs: DataFrame) -> DataFrame:
+    """Per-source KL divergence to the corpus unigram LM — THE mixture
+    diagnostic for training-data curation: KL(P_source || P_corpus) says
+    how far each source's word distribution sits from the blend the model
+    will actually train on (high = domain-shifted source, candidate for
+    temperature reweighting; ~0 = redundant with the mixture).
+
+    KL(s) = sum_w (c_sw/T_s) * ln((c_sw/T_s) / (c_w/T)).
+
+    Float-parity design (same doctrine as unigram_surprisal): the per-
+    (source, word) log-ratio is floored into MICRO-NATS and the per-source
+    sum is the INTEGER sum(c_sw * lr_micro) — order-free. The ln input is
+    computed with a pinned association order `(c_sw/T_s) * (T/c_w)` (two
+    double divisions then one multiply — never c_sw*T, which overflows
+    BIGINT at corpus scale). Mirrored verbatim in the oracle.
+
+    Scale shape: ONE corpus-sized shuffle (the (source, word) count);
+    everything after runs on vocab-x-sources-sized tables — corpus totals
+    re-aggregate from that small table rather than re-scanning the corpus,
+    and the per-word corpus counts join back broadcast.
+    """
+    w = words_df(docs, carry=[F.col("source")])
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("c_sw"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    c_w = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    tot = s_tot.select(F.sum("t_s").alias("t_all"))
+    ratio = (F.col("c_sw").cast("double") / F.col("t_s")) * (
+        F.col("t_all").cast("double") / F.col("c_w")
+    )
+    lr_micro = F.floor(F.log(ratio) * F.lit(1000000.0)).cast("long")
+    per = (
+        sw.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(c_w), "word")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "c_sw", lr_micro.alias("lr_micro"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum(F.col("c_sw") * F.col("lr_micro")).alias("kl_sum_micro"),
+            F.sum("c_sw").alias("n_words"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "kl_sum_micro",
+            (
+                F.col("kl_sum_micro").cast("double") / F.col("n_words")
+            ).alias("kl_micro_nat_per_word"),
+        )
+    )

@@ -587,3 +587,26 @@ def test_hll_ignores_nulls_and_is_insensitive_to_duplication(spark):
     # the sketch is a function of the distinct value SET only
     assert e1["hll_reg_sum"] == e2["hll_reg_sum"]
     assert e1["hll_estimate"] == e2["hll_estimate"]
+
+
+def test_source_kl_zero_for_identical_distribution_positive_for_shifted(spark):
+    from logspark import textops
+
+    # sources A and B have the SAME word distribution -> corpus mixture
+    # equals each source -> KL ~ 0 (floor rounding may leave it a hair
+    # under). Source C is disjoint vocabulary -> strongly positive KL.
+    rows = (
+        [(i, "A", "x y z") for i in range(10)]
+        + [(100 + i, "B", "x y z") for i in range(10)]
+    )
+    df0 = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out0 = {r["source"]: r for r in textops.source_unigram_kl(df0).collect()}
+    for s in ("A", "B"):
+        assert abs(out0[s]["kl_micro_nat_per_word"]) < 10  # ~0 nats
+
+    rows_c = rows + [(200 + i, "C", "q r s t") for i in range(10)]
+    df1 = spark.createDataFrame(rows_c, "doc_id long, source string, text string")
+    out1 = {r["source"]: r for r in textops.source_unigram_kl(df1).collect()}
+    # C's vocabulary never appears elsewhere: KL(C || mix) = ln(total/|C|)
+    assert out1["C"]["kl_micro_nat_per_word"] > 500000  # > 0.5 nats
+    assert out1["A"]["kl_micro_nat_per_word"] > 0  # mixture shifted off A now
