@@ -825,6 +825,43 @@ def stratified_sample(docs: DataFrame, cap: int = 50) -> DataFrame:
     )
 
 
+def weighted_sample(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES exponential keys): keep the ``k`` documents with
+    the largest ln(u)/weight, where u is a deterministic uniform drawn
+    from the portable hash of doc_id and weight = n_chars. Length-
+    proportional document sampling approximates uniform-over-TOKENS
+    sampling — LLM data recipes state mixture weights in tokens, not
+    documents, so the sampler must too (reference analog: the importer's
+    --skip/sampling knobs pick raw lines, import_logs.py config surface).
+
+    Determinism + float parity: u = (h+1)/2^32 is an exactly-representable
+    double (h is the 32-bit portable hash, so numerator and denominator
+    are both exact); the key is ONE ln and ONE divide in fixed order,
+    floored to integer pico-units BEFORE the top-k comparison, so both
+    engines rank identical integers; remaining ties break on doc_id.
+
+    Scale shape: per-row map + global top-k (TakeOrderedAndProject — each
+    task keeps its local k, the driver merges P*k rows; no global sort, no
+    corpus shuffle). At 10^12 rows with a k too large for the driver, flip
+    to the threshold form: estimate the k-th key from a pilot sample, keep
+    rows with key >= threshold, exact-rank only the survivors — same key
+    arithmetic, two narrow passes."""
+    d = docs.withColumn(
+        "dg", F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    ).withColumn("h", F.expr(ph.hex32_from_digest_sql("dg")))
+    key_punit = F.floor(
+        F.log((F.col("h") + 1).cast("double") / F.lit(4294967296.0))
+        / F.col("n_chars").cast("double")
+        * F.lit(1000000000000.0)
+    ).cast("long")
+    return (
+        d.select("doc_id", "source", "n_chars", key_punit.alias("akey_punit"))
+        .orderBy(F.desc("akey_punit"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def decontaminate(docs: DataFrame, k: int = 5) -> DataFrame:
     """Benchmark decontamination: train-split documents that share at
     least one k-word shingle with any test-split document (the classic

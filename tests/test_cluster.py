@@ -123,6 +123,42 @@ def test_stratified_sample_caps_each_stratum(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_weighted_sample_matches_local_aes_recompute(spark):
+    import hashlib
+    import math
+
+    rows = [(i, "t", "s", 10 + (i * 37) % 500) for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"])
+    out = textops.weighted_sample(docs, k=25).collect()
+    assert len(out) == 25
+
+    def key(doc_id, n_chars):
+        h = int(hashlib.md5(f"wsamp:{doc_id}".encode()).hexdigest()[:8], 16)
+        return math.floor(math.log((h + 1) / 4294967296.0) / n_chars * 1e12)
+
+    expect = sorted(
+        ((key(i, w), i) for (i, _, _, w) in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = [(r["akey_punit"], r["doc_id"]) for r in out]
+    assert sorted(got, key=lambda t: (-t[0], t[1])) == expect
+    # longer docs are overrepresented vs their 300-doc population share:
+    # weight is length, so the sample should skew long
+    med = sorted(w for (_, _, _, w) in rows)[150]
+    long_frac = sum(1 for r in out if r["n_chars"] > med) / 25
+    assert long_frac > 0.5
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    from tests.test_plans import plan_text
+
+    docs = spark.createDataFrame(
+        [(1, "t", "s", 10)], ["doc_id", "text", "source", "n_chars"]
+    )
+    txt = plan_text(textops.weighted_sample(docs, k=5))
+    assert "TakeOrderedAndProject" in txt  # no global Sort+Exchange
+
+
 def test_unigram_surprisal_rare_words_score_higher(spark):
     docs = spark.createDataFrame(
         [
