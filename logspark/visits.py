@@ -89,6 +89,44 @@ def visit_daily_stats(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
         )
     )
 
+def visitor_frequency(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+    """Matomo VisitFrequency report: per day, visits split into NEW
+    (the visitor key's first visit in the corpus window) vs RETURNING
+    (visit_id > 1 — the key already opened an earlier visit), with the
+    per-class action totals the report's returning-visitor bounce/depth
+    ratios are built from. Matomo's tracker keeps this flag in the
+    visitor cookie; log replay has no cookie, so the flag is recomputed
+    from the same (ip, user_agent) config-id fallback the visit model
+    uses — consistent with how import_logs-fed servers see it.
+
+    Shape: sessionize (one shuffle on the visitor key) -> per-visit
+    aggregate; ``returning`` is a pure function of visit_id, so the day
+    rollup stays a map-side-combinable hash agg. Nothing new shuffles
+    beyond visit_daily_stats."""
+    s = sessionize_hits(df, gap_s)
+    visits = s.groupBy("ip", "ua_k", "visit_id").agg(
+        F.count("*").alias("n_actions"),
+        F.min("tsec").alias("first_tsec"),
+    )
+    ret = F.col("visit_id") > 1
+    return (
+        visits.withColumn(
+            "dom", F.floor(F.col("first_tsec") / 86400).cast("int")
+        )
+        .groupBy("dom")
+        .agg(
+            F.sum(F.when(ret, 0).otherwise(1)).alias("n_new_visits"),
+            F.sum(F.when(ret, 1).otherwise(0)).alias("n_returning_visits"),
+            F.sum(F.when(ret, F.lit(0)).otherwise(F.col("n_actions"))).alias(
+                "actions_new"
+            ),
+            F.sum(F.when(ret, F.col("n_actions")).otherwise(F.lit(0))).alias(
+                "actions_returning"
+            ),
+        )
+    )
+
+
 def entry_exit_pages(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
     """Matomo Actions > Entry/Exit pages: per stem, how many visits ENTER
     on it (first action) and how many EXIT on it (last action).

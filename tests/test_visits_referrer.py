@@ -41,6 +41,29 @@ def test_visit_splits_strictly_after_30min_gap(spark):
     assert got[4][2] == 1 and got[5][2] == 1
 
 
+def test_visitor_frequency_splits_new_vs_returning(spark):
+    from logspark import visits
+
+    # visitor A: first visit (2 actions), then a returning visit (1 action)
+    # visitor B: single visit (1 action) — never returns
+    df = _hits(
+        spark,
+        [
+            (1, "1.1.1.1", "ua", 0),
+            (2, "1.1.1.1", "ua", 60),
+            (3, "1.1.1.1", "ua", 7200),  # > 30 min gap: visit 2 (returning)
+            (4, "3.3.3.3", "ua", 0),
+        ],
+    )
+    out = {r["dom"]: r for r in visits.visitor_frequency(df).collect()}
+    assert set(out) == {5}
+    r = out[5]
+    assert r["n_new_visits"] == 2  # A's visit 1 + B's visit 1
+    assert r["n_returning_visits"] == 1  # A's visit 2
+    assert r["actions_new"] == 3
+    assert r["actions_returning"] == 1
+
+
 def test_visit_daily_stats_bounces_and_first_hit_day(spark):
     from logspark import visits
 
