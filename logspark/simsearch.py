@@ -632,6 +632,135 @@ def ann_recall_eval(
     )
 
 
+def _qscales_agg(emb: DataFrame) -> DataFrame:
+    """Per-dimension int8 quantization scales: s_d = max(|x_d|) over the
+    corpus, as ONE 64-column map-side-combinable aggregation (no explode,
+    no shuffle of the vectors — each task reduces to a single row). max
+    SELECTS a value rather than computing one, so the scales are exact
+    doubles both engines agree on."""
+    cols = [
+        F.max(F.abs(F.expr(f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)")))
+        for i in range(DIMS)
+    ]
+    return emb.agg(F.array(*cols).alias("scales"))
+
+
+def quantize_code_sql(col: str, scales: str = "scales") -> str:
+    """int8 code array: floor(x / s * 127) per dim (0 where s = 0).
+
+    x/s is in [-1, 1] by construction (s is the corpus max |x|), so codes
+    land in [-127, 127] with no clamp. ONE divide and ONE multiply in
+    fixed order then floor — deliberately floor, not round: round's
+    half-tie rule is engine-defined, floor is not. The fold stays tiny
+    (HOF), the rest of the stage stays codegen'd."""
+    return (
+        f"zip_with({col}, {scales}, "
+        f"(x, s) -> IF(s = CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT), "
+        f"CAST(floor(CAST(x AS DOUBLE) / s * 127.0) AS BIGINT)))"
+    )
+
+
+def duck_qcode_sql(elem: str, scale: str) -> str:
+    return (
+        f"CASE WHEN {scale} = 0.0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(FLOOR(CAST({elem} AS DOUBLE) / {scale} * 127.0) "
+        f"AS BIGINT) END"
+    )
+
+
+def duck_scales_list_sql(dims: int = DIMS) -> str:
+    return (
+        "["
+        + ", ".join(
+            f"MAX(ABS(CAST(embedding[{i + 1}] AS DOUBLE)))"
+            for i in range(dims)
+        )
+        + "]"
+    )
+
+
+def duck_qdot_sql(a: str, b: str, scales: str, dims: int = DIMS) -> str:
+    """Integer dot product of two int8-code arrays, unrolled per dim.
+    Each term is code(a[i], s[i]) * code(b[i], s[i]); integer addition is
+    associative-exact, so unlike the float folds no association-order
+    discipline is needed — any grouping matches Spark bit-for-bit."""
+    return " + ".join(
+        f"({duck_qcode_sql(f'{a}[{i + 1}]', f'{scales}[{i + 1}]')}) * "
+        f"({duck_qcode_sql(f'{b}[{i + 1}]', f'{scales}[{i + 1}]')})"
+        for i in range(dims)
+    )
+
+
+def quantize_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension int8 scalar-quantization report: scale, saturated-code
+    count (|code| = 127 — the distribution tail each dim clips at), code
+    sum and range. The calibration artifact a 100 TB embedding store ships
+    with its quantized index: 4x smaller vectors, integer SIMD dot
+    products at probe time (cf. FAISS SQ8 / Milvus scalar quantization).
+
+    Shape: scales are one 64-column agg (broadcast back, 1 row); the
+    per-dim rollup explodes codes but groups on 64 keys, so map-side
+    combine collapses every task to <= 64 rows before the only shuffle."""
+    j = emb.crossJoin(F.broadcast(_qscales_agg(emb)))
+    e = j.select(
+        F.col("scales"),
+        F.posexplode(F.expr(quantize_code_sql("embedding"))).alias(
+            "pos", "code"
+        ),
+    )
+    return (
+        e.select(
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.expr(
+                "CAST(element_at(scales, CAST(pos + 1 AS INT)) AS DOUBLE)"
+            ).alias("scale"),
+            "code",
+        )
+        .groupBy("dim", "scale")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("code")) == 127, 1).otherwise(0)
+            ).alias("n_saturated"),
+            F.sum("code").alias("sum_code"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+        )
+    )
+
+
+def quantized_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """ANN top-k over int8-quantized vectors: rank by the INTEGER dot
+    product of the stored code arrays — the asymmetric-distance probe of
+    a scalar-quantized index (4x less IO than float32, integer math in
+    the scan). Integer sums are order-free, so unlike the float cosine
+    path this ranking needs no association-order discipline at all —
+    bit-exact cross-engine by construction.
+
+    Shape: scales (1 row) and the query's code (1 row) broadcast; the
+    scan computes one code array + one integer fold per row, then
+    TakeOrderedAndProject — no shuffle, no sort."""
+    s = _qscales_agg(emb)
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(s))
+        .select(F.expr(quantize_code_sql("qv")).alias("qcode"), "scales")
+    )
+    j = emb.crossJoin(F.broadcast(q))
+    dot = F.expr(
+        "aggregate(zip_with("
+        + quantize_code_sql("embedding")
+        + ", qcode, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        j.select("vec_id", "label", dot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _dist2_sql(a: str, b: str) -> str:
     """Squared L2 distance as the same left fold as _dot_sql (bit-identical
     association order vs the DuckDB unrolled form)."""
