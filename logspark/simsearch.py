@@ -761,6 +761,148 @@ def quantized_topk(
     )
 
 
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIMS // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace
+
+
+def _dist2_span_sql(a: str, b: str, start: int, width: int) -> str:
+    """Subspace squared-L2: the same left fold as _dist2_sql restricted to
+    ``width`` dims beginning at 1-based ``start`` (slice() is 1-based)."""
+    return (
+        f"aggregate(zip_with(slice({a}, {start}, {width}), "
+        f"slice({b}, {start}, {width}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def duck_dist2_span_sql(a: str, b: str, start: int, width: int) -> str:
+    """DuckDB replay of _dist2_span_sql: unrolled left-assoc sum over dims
+    [start, start+width) — bit-identical association order to the fold."""
+    terms = [
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)) * "
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(start, start + width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_codebook_row(emb: DataFrame, k: int = PQ_K) -> DataFrame:
+    """The PQ codebook as ONE broadcastable row: codeword c of every
+    subspace is vec_id=c's vector (deterministic, training-free — the
+    same seeding trick as kmeans_assign), collapsed to a sorted array of
+    (cid, cvec) structs. k*DIMS floats total — bytes, not a shuffle."""
+    return (
+        emb.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .groupBy()
+        .agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("_cb")
+        )
+    )
+
+
+def _pq_code_expr(m: int, col: str = "embedding") -> str:
+    """int code of subspace m (0-based): argmin over the k codewords of the
+    subspace squared-L2, ties to the smaller cid — array_min over
+    (dist2, cid) structs, a pure row function over the broadcast _cb."""
+    d = _dist2_span_sql(col, "c.cvec", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return (
+        f"array_min(transform(_cb, c -> "
+        f"struct({d} AS d, c.cid AS cid))).cid"
+    )
+
+
+def pq_code_histogram(emb: DataFrame) -> DataFrame:
+    """Product-quantization code assignment + codebook occupancy report:
+    every vector is compressed to PQ_M int codes (one per PQ_SUBDIM-dim
+    subspace, argmin squared-L2 over PQ_K deterministic codewords — the
+    FAISS IVFPQ layout, 64 float32 dims -> 8 bytes), and the output is the
+    per-(subspace, code) member count + vec_id range: the codebook-balance
+    readout a 100 TB vector store uses to detect dead/overloaded codewords
+    before committing to a codebook.
+
+    Scale shape: the codebook is one broadcast row (k*DIMS floats); code
+    assignment is a pure row function (zero shuffles); the explode emits
+    PQ_M rows per vector but groups on <= PQ_M*PQ_K = 128 keys, so map-side
+    combine collapses every task to <= 128 rows before the only shuffle."""
+    j = emb.crossJoin(F.broadcast(_pq_codebook_row(emb)))
+    coded = j.select(
+        "vec_id",
+        F.array(
+            *[F.expr(_pq_code_expr(m)) for m in range(PQ_M)]
+        ).alias("codes"),
+    )
+    return (
+        coded.select(
+            "vec_id", F.posexplode("codes").alias("m", "code")
+        )
+        .groupBy(
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("int").alias("code"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """ANN top-k by PQ asymmetric distance (ADC): rank stored vectors by
+    the sum over subspaces of dist2(query subvector, the vector's assigned
+    codeword) — the probe a PQ index serves from 8-byte codes instead of
+    256-byte floats (8/16/32x less scan IO; at serving time the 8 subspace
+    terms come from a precomputed 128-entry lookup table).
+
+    Determinism: each subspace term is the _dist2_span_sql left fold; the
+    cross-subspace sum is a fixed-order left-assoc chain m=0..7, so DuckDB
+    replays the double arithmetic bit-for-bit.
+
+    Scale shape: codebook + query collapse to one broadcast row each; code
+    assignment and the ADC sum are pure row functions; then
+    TakeOrderedAndProject — no shuffle, no sort."""
+    cb = _pq_codebook_row(emb)
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+    j = emb.crossJoin(F.broadcast(cb)).crossJoin(F.broadcast(q))
+    coded = j.select(
+        "vec_id",
+        "label",
+        "qv",
+        "_cb",
+        F.array(
+            *[F.expr(_pq_code_expr(m)) for m in range(PQ_M)]
+        ).alias("codes"),
+    )
+    # ADC: left-assoc chain over subspaces; codeword looked up from the
+    # sorted _cb by code (cids are 0..k-1, so element_at(_cb, code+1))
+    terms = [
+        _dist2_span_sql(
+            "qv",
+            f"element_at(_cb, CAST(element_at(codes, {m + 1}) + 1 AS INT)).cvec",
+            m * PQ_SUBDIM + 1,
+            PQ_SUBDIM,
+        )
+        for m in range(PQ_M)
+    ]
+    adc = "(" + " + ".join(terms) + ")"
+    return (
+        coded.select(
+            "vec_id", "label", F.expr(adc).alias("adc")
+        )
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _dist2_sql(a: str, b: str) -> str:
     """Squared L2 distance as the same left fold as _dot_sql (bit-identical
     association order vs the DuckDB unrolled form)."""
