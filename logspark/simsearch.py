@@ -282,6 +282,51 @@ def batch_topk_bucketed(
     )
 
 
+def hard_negatives(
+    emb: DataFrame, n_queries: int = 16, k: int = 5, bits: int = 8
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors with a DIFFERENT label — the
+    near-misses a bi-encoder trains against (DPR / SimCSE-style negative
+    mining). Identical physical shape to batch_topk_bucketed — one bucket
+    equi-join with the broadcast query side, per-query window rank — with
+    the label-mismatch predicate folded into the join condition, so
+    same-label rows are dropped BEFORE any scoring (at 100 TB the mislabel
+    filter is join-time pruning, not a post-filter over scored pairs).
+
+    Same fold arithmetic and (cosine DESC, vec_id) tie-break as every
+    other probe — bit-identical to the DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("q_label"),
+        )
+        .withColumn("qn", F.expr(_norm_sql("qv")))
+        .withColumn("qb", sign_bucket_expr("qv", bits))
+    )
+    bucketed = emb.withColumn("bucket", sign_bucket_expr("embedding", bits))
+    cand = bucketed.join(
+        q,
+        (F.col("bucket") == F.col("qb"))
+        & (F.col("vec_id") != F.col("q_id"))
+        & (F.col("label") != F.col("q_label")),
+    )
+    sim = F.expr(_dot_sql("embedding", "qv")) / (
+        F.expr(_norm_sql("embedding")) * F.col("qn")
+    )
+    scored = cand.select(
+        "q_id", "q_label", "vec_id", "label", sim.alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
 def band_bucket_expr(col: str, band: int, bits_per_band: int):
     """Sign pattern of dims [band*r, band*r + r) as an int bucket id."""
     r = bits_per_band
