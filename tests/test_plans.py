@@ -623,3 +623,89 @@ def test_pmi_collocations_takeordered_no_global_sort(spark, small_corpus):
     assert "TakeOrderedAndProject" in txt
     assert "BroadcastHashJoin" in txt
     assert "SortMergeJoin" not in txt
+
+
+@pytest.fixture(scope="module")
+def emb60(spark):
+    from logspark import simsearch
+
+    return spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(simsearch.DIMS)], i % 3)
+         for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_quantize_stats_single_shuffle_broadcast_scales(spark, emb60):
+    """int8 calibration: the per-dim scales row is broadcast back onto the
+    scan (never a shuffle of the vectors) and the per-dim rollup is ONE
+    exchange with a map-side partial agg below it — every task collapses
+    to <= 64 rows before the wire."""
+    import re
+
+    from logspark import simsearch
+
+    txt = plan_text(simsearch.quantize_stats(emb60))
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    # shuffles: the 1-row scales agg's SinglePartition exchange plus the
+    # 64-key dim rollup — the full-width vector column crosses no wire
+    assert shuffle_count(txt) <= 2, txt
+    assert len(re.findall(r"\bHashAggregate \(\d+\)", txt)) >= 4  # partial+final x2
+
+
+def test_quantized_topk_no_sort_no_corpus_shuffle(spark, emb60):
+    """The int8 ANN probe is scan -> integer fold -> TakeOrderedAndProject:
+    scales and query code broadcast (1 row each), no global Sort, and the
+    corpus never exchanges on a non-broadcast shuffle."""
+    from logspark import simsearch
+
+    txt = plan_text(simsearch.quantized_topk(emb60, query_vec_id=0, k=5))
+    assert "TakeOrderedAndProject" in txt
+    assert txt.count("BroadcastNestedLoopJoin") >= 1
+    assert "SortMergeJoin" not in txt
+    # only the broadcast sides' 1-row aggs may exchange; the corpus scan
+    # side of the probe is shuffle-free
+    assert shuffle_count(txt) <= 2, txt
+
+
+def test_pq_code_histogram_broadcast_codebook_one_rollup(spark, emb60):
+    """PQ assignment is a pure row function over the ONE broadcast codebook
+    row; the occupancy report groups on <= M*K = 128 keys, so the only
+    wide exchange carries <= 128 rows per task (map-side combined)."""
+    import re
+
+    from logspark import simsearch
+
+    txt = plan_text(simsearch.pq_code_histogram(emb60))
+    assert "BroadcastNestedLoopJoin" in txt
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+    assert shuffle_count(txt) <= 2, txt  # codebook collect + 128-key rollup
+    assert len(re.findall(r"\bHashAggregate \(\d+\)", txt)) >= 2
+
+
+def test_pq_adc_topk_rowfunc_takeordered(spark, emb60):
+    """The ADC probe must be TakeOrderedAndProject over a pure row-function
+    scan (codebook + query broadcast) — no window, no global sort, no
+    corpus-side shuffle."""
+    from logspark import simsearch
+
+    txt = plan_text(simsearch.pq_adc_topk(emb60, query_vec_id=0, k=5))
+    assert "TakeOrderedAndProject" in txt
+    assert "Window" not in txt
+    assert "SortMergeJoin" not in txt
+    assert shuffle_count(txt) <= 2, txt
+
+
+def test_hard_negatives_label_pruned_bucket_join(spark, emb60):
+    """Hard-negative mining joins corpus to broadcast queries on the
+    sign-bucket EQUI key with the label-mismatch predicate folded into the
+    join (pruning before scoring) — a BroadcastHashJoin, never a cartesian
+    — then ranks per query with a window."""
+    from logspark import simsearch
+
+    txt = plan_text(simsearch.hard_negatives(emb60, n_queries=8, k=3))
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+    assert "SortMergeJoin" not in txt
+    assert "Window" in txt
