@@ -149,3 +149,50 @@ def chunk_sequences(
         F.element_at("chunk", F.col("chunk_n")).alias("last_token"),
         checksum.alias("chunk_checksum"),
     )
+
+
+LENGTH_BUCKET_EDGES = [16, 32, 64, 128, 256, 512]
+
+
+def length_buckets(corpus: DataFrame) -> DataFrame:
+    """Padded-batch length-bucketing readout: assign every sequence to the
+    smallest power-of-two bucket >= n_tok and report, per bucket, the
+    sequence count, real token count, padded token count (n_seqs x
+    bucket_len) and the padding waste — the numbers that decide between
+    bucketed padding and sequence_pack-style concatenation for a training
+    run (dynamic-batching fertility, the same readout HF's
+    group_by_length / length-grouped samplers optimize against).
+    Sequences longer than the top edge land in bucket_len = -1
+    ("chunk-first": they go through chunk_sequences before batching, so
+    their padded cost is counted as 0, not a fictitious giant bucket).
+
+    Shape: a pure CASE map over n_tok then ONE bounded-key (<=7 buckets)
+    map-side-combined aggregate — zero joins, no corpus shuffle beyond
+    the 7-row rollup. Integer math only."""
+    edges = LENGTH_BUCKET_EDGES
+    bucket = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN n_tok <= {e} THEN {e}" for e in edges
+        )
+        + " ELSE -1 END"
+    )
+    b = corpus.select(F.col("n_tok").cast("long").alias("n_tok"), bucket.alias("bucket_len"))
+    return (
+        b.groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("n_tok").alias("real_tok"),
+        )
+        .select(
+            "bucket_len",
+            "n_seqs",
+            "real_tok",
+            F.expr(
+                "IF(bucket_len = -1, CAST(0 AS BIGINT), bucket_len * n_seqs)"
+            ).alias("padded_tok"),
+            F.expr(
+                "IF(bucket_len = -1, CAST(0 AS BIGINT), bucket_len * n_seqs - real_tok)"
+            ).alias("waste_tok"),
+        )
+    )

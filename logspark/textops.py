@@ -1481,3 +1481,151 @@ def source_unigram_kl(docs: DataFrame) -> DataFrame:
             ).alias("kl_micro_nat_per_word"),
         )
     )
+
+
+def mixture_epochs(docs: DataFrame) -> DataFrame:
+    """Materialize a per-source EPOCH recipe (LLaMA/GPT-style data
+    mixtures state "wiki x 3.4 epochs, web x 0.7"): every document is
+    emitted floor(epochs) times plus one extra copy iff a deterministic
+    per-doc coin lands below the fractional part — so a 2.4-epoch source
+    yields each doc 2 times and a hash-chosen 40% of docs a 3rd time,
+    and the emitted multiset is exactly reproducible (the property a
+    rand()-based upsampler does not have; reference analog: the
+    importer's --skip/line-sampling config surface, import_logs.py).
+
+    The recipe here is DATA, not code — a (source, epochs_milli) table
+    derived deterministically from the portable source hash (250..2999
+    milli-epochs) standing in for the curated recipe a real run ships;
+    swapping in a hand-written table changes nothing downstream.
+
+    Integer-exact selection: the extra-copy rule is
+    h32('epoch_frac:'+doc_id) * 1000 < frac_milli * 2^32 — all BIGINT,
+    no float thresholds. Output is the per-source conservation readout:
+    doc count in, rows emitted, docs upsampled, and an order-free
+    integer checksum over the emitted (doc_id, copy_idx) multiset that
+    pins the explode itself, not just its cardinality.
+
+    Scale shape: the recipe is a broadcast source-cardinality table; the
+    copy-count decision is a narrow per-row map; the explode multiplies
+    rows by <=3 before a map-side-combinable source rollup — one tiny
+    shuffle, no corpus-sized join. (Emitting the full upsampled corpus —
+    drop the final rollup — is the same plan minus the agg.)"""
+    recipe = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "_rdg",
+            F.md5(F.concat(F.lit("epochs:"), F.col("source"))),
+        )
+        .withColumn(
+            "epochs_milli",
+            F.expr(f"250 + ({ph.hex32_from_digest_sql('_rdg')}) % 2750"),
+        )
+        .select("source", "epochs_milli")
+    )
+    d = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(recipe), "source")
+        .withColumn(
+            "_fdg",
+            F.md5(F.concat(F.lit("epoch_frac:"), F.col("doc_id").cast("string"))),
+        )
+        .withColumn(
+            "n_copies",
+            F.expr(
+                "(epochs_milli DIV 1000) + IF("
+                f"({ph.hex32_from_digest_sql('_fdg')}) * 1000 < "
+                "(epochs_milli % 1000) * 4294967296, 1, 0)"
+            ),
+        )
+    )
+    emitted = d.select(
+        "source",
+        "epochs_milli",
+        "doc_id",
+        "n_copies",
+        F.explode(
+            F.expr(
+                "CASE WHEN n_copies < 1 THEN CAST(array() AS ARRAY<BIGINT>) "
+                "ELSE sequence(CAST(1 AS BIGINT), n_copies) END"
+            )
+        ).alias("copy_idx"),
+    )
+    return (
+        emitted.groupBy("source", "epochs_milli")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_emitted"),
+            F.sum(
+                F.when(F.col("copy_idx") > F.expr("epochs_milli DIV 1000"), 1).otherwise(0)
+            ).alias("n_extra_copies"),
+            F.sum(F.col("doc_id") * 1000 + F.col("copy_idx")).alias("emit_checksum"),
+        )
+    )
+
+
+PARA_BLOCK_WORDS = 8  # words per dedup block (C4 uses 3-sentence spans)
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """C4-style span-REMOVAL dedup: split every document into consecutive
+    8-word blocks, keep only each block's globally FIRST occurrence
+    (smallest (doc_id, block_idx)), and reconstruct the cleaned text from
+    the surviving blocks in document order — the operator that strips
+    boilerplate/quotation the whole-doc and window-STATS passes
+    (dedup_exact, span_dedup_stats) only measure. Output per doc: block
+    counts in/kept, cleaned length, and the md5 of the cleaned text so
+    the reconstruction (content AND order) is value-pinned cross-engine.
+
+    Scale shape: block extraction is a narrow HOF (sequence+transform
+    over the split words, zero joins); first-occurrence ownership is ONE
+    map-side-combinable min-agg on the block digest joined back as an
+    EQUI join on that digest (AQE skew-join splits hot boilerplate
+    blocks — a window over block_text would instead pin every copy of a
+    hot block into one task's state); reassembly rides a per-doc
+    sort_array(collect_list) — deterministic without a pre-shuffle sort.
+    2 shuffles + 1 equi-join total."""
+    blocks = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / "
+                f"{PARA_BLOCK_WORDS}.0) AS INT) - 1), "
+                f"i -> struct(CAST(i AS BIGINT) AS block_idx, "
+                f"concat_ws(' ', slice(split(text, ' '), i * {PARA_BLOCK_WORDS} + 1, "
+                f"{PARA_BLOCK_WORDS})) AS block_text))"
+            ).alias("_bl"),
+        )
+        .select("doc_id", F.explode("_bl").alias("b"))
+        .select("doc_id", "b.block_idx", F.md5("b.block_text").alias("bdg"), "b.block_text")
+    )
+    owner = blocks.groupBy("bdg").agg(
+        F.min(F.struct("doc_id", "block_idx")).alias("own")
+    )
+    kept = blocks.join(owner, "bdg").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("own.doc_id"))
+        & (F.col("block_idx") == F.col("own.block_idx")),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(IF(keep, "
+                    "struct(block_idx, block_text), NULL))), s -> s.block_text)"
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_kept",
+            F.length("clean_text").alias("clean_len"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+    )
