@@ -1629,3 +1629,149 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
             F.md5("clean_text").alias("clean_md5"),
         )
     )
+
+
+BM25_QUERY_TERMS = ["spark", "table", "join"]
+
+
+def bm25_topk(
+    docs: DataFrame, terms: list[str] | None = None, k: int = 10
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus in EXACT INTEGER arithmetic —
+    the retrieval scorer behind RAG corpus serving and dedup-against-query
+    workflows, with Lucene's non-negative idf. With k1 = 6/5 and b = 3/4
+    the classic per-term score
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    multiplies through by 20*T (T = corpus words, avgdl = T/N) into the
+    ratio of two BIGINTs
+
+        (idf_micro * 44*T*tf) DIV (20*T*tf + 6*T + 18*dl*N)
+
+    so apart from ONE ln (idf, floored to micro-nats from exactly-
+    representable +0.5 operands in a pinned association order) every step
+    is integer — the per-doc score is an order-free integer sum both
+    engines reproduce bit-for-bit, where a float BM25 would drift with
+    aggregation order. Overflow headroom: idf_micro*44*T*tf needs
+    T*tf < ~2^46; at web scale move the 44*T factor into DECIMAL(38,0)
+    or pre-divide by gcd — same floor semantics.
+
+    Scale shape: doc lengths are one map-side-combinable agg; (N, T) and
+    the term-idf table (|terms| rows) broadcast; tf is corpus-sized only
+    for docs CONTAINING query terms (the isin filter prunes before the
+    groupBy); the dl re-attach is a doc-keyed equi join (broadcastable
+    when the query-matched doc set is small); final top-k is
+    TakeOrderedAndProject — no global sort."""
+    terms = BM25_QUERY_TERMS if terms is None else terms
+    w = words_df(docs)
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("t_total"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        w.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            F.expr(
+                "CAST(floor(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / "
+                "(CAST(df AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT)"
+            ).alias("idf_micro"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_micro * 44 * t_total * tf) DIV "
+                "(20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)"
+            ).alias("term_score_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score_micro").alias("score_micro"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document within its SOURCE by corpus-LM mean surprisal and split each
+    source into head / middle / tail thirds — the language-quality
+    stratification CCNet applies per language before choosing which
+    thirds enter the training mix. Output: per (source, bucket) doc count
+    and the score range, i.e. the thresholds a curation run would ship.
+
+    Integer-exact ranking: the per-doc score is the micro-nat integer
+    surprisal sum (order-free, same doctrine as unigram_surprisal)
+    floor-divided by the word count — both engines rank identical
+    integers, ties broken by doc_id; bucket is rank*3 vs n_source, pure
+    integer.
+
+    Scale shape: the only corpus-sized shuffles are the per-doc sum and
+    the per-source rank window. A per-source window is a per-source total
+    order — fine up to ~10^8 docs/source; past that flip to the exact
+    nearest-rank TWO-PASS form (value_percentiles pattern: compute the
+    two tertile threshold scores per source, broadcast, bucket by
+    comparison) — identical result except boundary ties land by score,
+    not rank."""
+    from pyspark.sql.window import Window
+
+    w = words_df(docs, carry=[F.col("source")])
+    freq = w.groupBy("word").agg(F.count("*").alias("wfreq"))
+    tot = w.select(F.count("*").alias("total_words"))
+    unats = F.floor(
+        -F.log(F.col("wfreq").cast("double") / F.col("total_words"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    per_doc = (
+        w.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(unats).alias("ssum"),
+            F.count("*").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("ssum DIV n_words").alias("score_micro"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.asc("score_micro"), F.asc("doc_id")
+    )
+    ranked = per_doc.select(
+        "source",
+        "score_micro",
+        F.row_number().over(win).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_s"),
+    )
+    bucket = F.expr(
+        "CASE WHEN rk * 3 <= n_s THEN 'head' "
+        "WHEN rk * 3 <= 2 * n_s THEN 'middle' ELSE 'tail' END"
+    )
+    return (
+        ranked.select("source", bucket.alias("bucket"), "score_micro")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score_micro").alias("min_score"),
+            F.max("score_micro").alias("max_score"),
+        )
+    )
