@@ -709,3 +709,78 @@ def test_hard_negatives_label_pruned_bucket_join(spark, emb60):
     assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
     assert "SortMergeJoin" not in txt
     assert "Window" in txt
+
+
+@pytest.fixture(scope="module")
+def docs40(spark):
+    rows = [
+        (i, " ".join(["spark", "table", "join", "scan", "agg"][j % 5]
+                     for j in range(i % 7 + 3)), "en", f"s{i % 4}", 0)
+        for i in range(40)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_mixture_epochs_broadcast_recipe_no_smj(spark, docs40):
+    """The epoch recipe joins back BROADCAST (source-cardinality table);
+    the explode multiplies rows but the rollup stays a map-side-combined
+    hash agg — no sort-merge join, no cartesian."""
+    from logspark import textops
+
+    txt = plan_text(textops.mixture_epochs(docs40))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+    assert "Generate" in txt  # the explode
+
+
+def test_length_buckets_no_join_single_rollup(spark, docs40):
+    """Length bucketing is a pure CASE map + ONE bounded-key aggregate:
+    zero joins, one exchange."""
+    from logspark import packing
+
+    corpus = docs40.selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id", "source",
+        "transform(sequence(1, CAST(n_chars % 37 + 1 AS INT)), i -> 65) AS tokens",
+        "CAST(n_chars % 37 + 1 AS INT) AS n_tok",
+    )
+    txt = plan_text(packing.length_buckets(corpus))
+    assert "Join" not in txt
+    assert shuffle_count(txt) == 1, txt
+
+
+def test_paragraph_dedup_no_window_no_cartesian(spark, docs40):
+    """Span-removal dedup: first-occurrence ownership is a min-AGG joined
+    back on the block digest (equi join — AQE can skew-split it), NOT a
+    window over block_text (which would pin every copy of a hot
+    boilerplate block into one task's window state)."""
+    from logspark import textops
+
+    txt = plan_text(textops.paragraph_dedup(docs40))
+    assert "Window" not in txt
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+    assert "Generate" in txt  # block explode
+
+
+def test_bm25_topk_takeordered_broadcast_idf(spark, docs40):
+    """BM25 top-k: idf and corpus stats broadcast; final top-k is
+    TakeOrderedAndProject, never a global Sort+Limit of scored docs."""
+    from logspark import textops
+
+    txt = plan_text(textops.bm25_topk(docs40, k=5))
+    assert "TakeOrderedAndProject" in txt
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_perplexity_buckets_one_source_window(spark, docs40):
+    """CCNet bucketing: vocabulary-sized freq table broadcast onto the
+    word stream; exactly one rank window, partitioned by source."""
+    from logspark import textops
+
+    txt = plan_text(textops.perplexity_buckets(docs40))
+    assert "BroadcastHashJoin" in txt
+    assert txt.count("Window (") <= 2  # rank + count ride one partitioning
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
