@@ -610,3 +610,67 @@ def test_source_kl_zero_for_identical_distribution_positive_for_shifted(spark):
     # C's vocabulary never appears elsewhere: KL(C || mix) = ln(total/|C|)
     assert out1["C"]["kl_micro_nat_per_word"] > 500000  # > 0.5 nats
     assert out1["A"]["kl_micro_nat_per_word"] > 0  # mixture shifted off A now
+
+
+def test_paragraph_dedup_removes_repeated_block(spark):
+    """Doc 20 repeats doc 10's first 8-word block verbatim; the global
+    first occurrence (smaller doc_id) survives, the copy is stripped from
+    doc 20's reconstruction, and unique tail words remain."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"  # one exact 8-word block
+    rows = [
+        (10, a + " tailA1 tailA2", "en", "s", 0),
+        (20, a + " tailB1 tailB2", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s, _ in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in textops.paragraph_dedup(docs).collect()}
+    assert out[10]["n_blocks"] == 2 and out[10]["n_kept"] == 2
+    # doc 20 loses the repeated block but keeps its distinct tail block
+    assert out[20]["n_blocks"] == 2 and out[20]["n_kept"] == 1
+    assert out[20]["clean_len"] == len("tailB1 tailB2")
+
+
+def test_mixture_epochs_conservation(docs):
+    """Every source's emitted count sits between floor(e)*n_docs and
+    ceil(e)*n_docs, extra copies equal n_emitted - floor(e)*n_docs, and
+    the checksum is consistent with the emitted multiset size."""
+    for r in textops.mixture_epochs(docs).collect():
+        lo = (r["epochs_milli"] // 1000) * r["n_docs"]
+        hi = lo + r["n_docs"]
+        assert lo <= r["n_emitted"] <= hi
+        assert r["n_extra_copies"] == r["n_emitted"] - lo
+
+
+def test_bm25_monotonic_in_tf(spark):
+    """More occurrences of a query term -> strictly higher BM25 score
+    when dl is equal (pure tf saturation ordering)."""
+    rows = [
+        (1, "spark x x x x x", "en", "s", 0),
+        (2, "spark spark x x x x", "en", "s", 0),
+        (3, "spark spark spark x x x", "en", "s", 0),
+        (4, "y y y y y y", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s, _ in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r["score_micro"] for r in textops.bm25_topk(docs).collect()}
+    assert 4 not in out  # no query terms -> not retrieved
+    assert out[3] > out[2] > out[1] > 0
+
+
+def test_perplexity_buckets_thirds(spark):
+    """A 9-doc single-source corpus splits exactly 3/3/3 and bucket score
+    ranges are ordered head <= middle <= tail."""
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i % 5))) + (" rare" + str(i)) * (i % 3),
+             "en", "s", 0) for i in range(9)]
+    docs = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s, _ in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["bucket"]: r for r in textops.perplexity_buckets(docs).collect()}
+    assert {b: out[b]["n_docs"] for b in out} == {"head": 3, "middle": 3, "tail": 3}
+    assert out["head"]["max_score"] <= out["middle"]["min_score"]
+    assert out["middle"]["max_score"] <= out["tail"]["min_score"]
