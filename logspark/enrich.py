@@ -155,3 +155,67 @@ def with_referrer_attribution(df: DataFrame, spark: SparkSession) -> DataFrame:
         )
         .drop("_rhost", "host", "engine")
     )
+
+
+# first product token of a user agent: "Name/1.2.3 ..." -> (Name, 1.2.3)
+UA_PRODUCT_RE = r"^([A-Za-z][A-Za-z0-9._-]*)/([0-9][0-9A-Za-z.]*)"
+
+
+def device_report(df: DataFrame) -> DataFrame:
+    """Matomo DevicesDetection analog: (browser, major version, OS family,
+    device type) hit/visitor counts from the parsed user agent.
+
+    Matomo runs its DeviceDetector library over the UA at tracking time;
+    the reference forwards the raw UA to the server (import_logs sends
+    the header through the tracking API). This is the Spark-native
+    table: the browser family + version come from the UA's first product
+    token (one anchored regex, evaluated JVM-side), the OS family and
+    device type from ordered keyword CASEs over the lowercased UA — the
+    same taxonomy as ua_class, extended with the os split. Formats that
+    carry no UA (ncsa_common) report as 'unknown'.
+
+    Shape: narrow column work then ONE hash agg on a tiny key space
+    (families x majors x os x types); the distinct-IP count is the only
+    state and is map-side partial. Nothing here grows with corpus size
+    except the scan.
+    """
+    ua0 = F.coalesce(F.col("user_agent"), F.lit(""))
+    lua = F.lower(ua0)
+    braw = F.regexp_extract(ua0, UA_PRODUCT_RE, 1)
+    vraw = F.regexp_extract(ua0, UA_PRODUCT_RE, 2)
+    browser = F.when(braw == "", F.lit("unknown")).otherwise(F.lower(braw))
+    major = F.when(vraw == "", F.lit(None).cast("int")).otherwise(
+        F.regexp_extract(vraw, r"^([0-9]+)", 1).cast("int")
+    )
+    os_family = (
+        F.when(ua0 == "", F.lit("unknown"))
+        .when(lua.like("%linux%") | lua.like("%x11%"), "linux")
+        .when(lua.like("%windows%"), "windows")
+        .when(lua.like("%mac os%") | lua.like("%macintosh%"), "macos")
+        .when(lua.like("%android%"), "android")
+        .otherwise("other")
+    )
+    device_type = (
+        F.when(ua0 == "", F.lit("unknown"))
+        .when(
+            lua.like("%bot%") | lua.like("%crawler%") | lua.like("%spider%"),
+            "bot",
+        )
+        .when(lua.like("curl/%") | lua.like("wget/%"), "cli")
+        .when(lua.like("mozilla/%"), "desktop")
+        .otherwise("unknown")
+    )
+    return (
+        df.select(
+            browser.alias("browser"),
+            major.alias("browser_major"),
+            os_family.alias("os_family"),
+            device_type.alias("device_type"),
+            "ip",
+        )
+        .groupBy("browser", "browser_major", "os_family", "device_type")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("ip").alias("n_visitors"),
+        )
+    )

@@ -98,3 +98,46 @@ def guarded_upsert(existing: DataFrame, updates: DataFrame) -> DataFrame:
         pick("expected", "expected_old").alias("expected"),
         pick("status", "status_old").alias("status"),
     )
+
+
+def slo_error_budget(routed: DataFrame, target_ppm: int = 1000) -> DataFrame:
+    """Per (source, day) availability vs an SLO error budget, all-integer.
+
+    SRE view of the reference's per-day status ledger (lib_status tracks
+    loaded-vs-expected line counts; this tracks served-vs-5xx): for each
+    source and ISO day, request count, 5xx count, availability in ppm,
+    and the budget-burn rate in milli-units of the allowed error budget
+    (``burn_milli`` = 1000 means errors exactly consumed the day's
+    budget; >1000 means the SLO is breached, also surfaced as a bool).
+
+    target_ppm is the ALLOWED error fraction in ppm (1000 ppm = 99.9%
+    availability target).
+
+    Exactness: every derived value is floor-division of two exact BIGINT
+    products, so any engine lands on identical rows — no float surface.
+    Shape: one map-side-combinable hash agg on (source, day); the
+    key space is sources x days (control-plane-sized at any corpus
+    scale), then narrow column math.
+    """
+    h = routed.filter(F.col("parsed_ok"))
+    g = h.groupBy(
+        "source", F.date_format("ts", "yyyy-MM-dd").alias("iso_date")
+    ).agg(
+        F.count("*").alias("n_req"),
+        F.sum(F.when(F.col("status") >= 500, 1).otherwise(0)).alias("n_5xx"),
+    )
+    return g.select(
+        "source",
+        "iso_date",
+        "n_req",
+        "n_5xx",
+        F.expr("(n_req - n_5xx) * 1000000 DIV n_req").alias(
+            "availability_ppm"
+        ),
+        F.expr(f"n_5xx * 1000000000 DIV (n_req * {int(target_ppm)})").alias(
+            "burn_milli"
+        ),
+        F.expr(f"n_5xx * 1000000 > n_req * {int(target_ppm)}").alias(
+            "breached"
+        ),
+    )

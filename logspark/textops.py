@@ -1775,3 +1775,110 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
             F.max("score_micro").alias("max_score"),
         )
     )
+
+
+def tokenizer_fertility(corpus: DataFrame) -> DataFrame:
+    """Per-source tokenizer fertility: tokens per whitespace word.
+
+    Standard tokenizer-health stat for a training corpus — a source whose
+    fertility creeps up (many tokens per word) is being shredded by the
+    tokenizer and costs sequence budget. Over the tokenized corpus
+    (doc_id, line, n_tok, source): per source, sequence/token/word/char
+    totals plus milli-scaled tokens-per-word and chars-per-token.
+
+    Exactness: the ratios are floor-divisions of exact BIGINT sums —
+    no float anywhere. Shape: the word count is a narrow size(filter(
+    split())) per row (JVM higher-order functions, no explode — the
+    per-row count never materializes the word array past the
+    expression), then ONE map-side-combinable hash agg on the
+    source-sized key space.
+    """
+    per = corpus.select(
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.expr("CAST(size(filter(split(line, ' '), w -> w <> '')) AS LONG)").alias(
+            "n_words"
+        ),
+        F.length("line").cast("long").alias("n_chars"),
+    )
+    g = per.groupBy("source").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_tok").alias("tok_total"),
+        F.sum("n_words").alias("word_total"),
+        F.sum("n_chars").alias("char_total"),
+    )
+    return g.select(
+        "source",
+        "n_seqs",
+        "tok_total",
+        "word_total",
+        F.expr("tok_total * 1000 DIV NULLIF(word_total, 0)").alias(
+            "fertility_milli"
+        ),
+        F.expr("char_total * 1000 DIV NULLIF(tok_total, 0)").alias(
+            "chars_per_tok_milli"
+        ),
+    )
+
+
+def source_overlap_matrix(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Cross-source contamination matrix: shared distinct k-word shingles
+    per source pair, with an exact Jaccard in milli-units.
+
+    Training mixtures budget per source; two sources sharing a large
+    fraction of their shingle vocabulary are near-mirrors and double-
+    count their epochs. For every source pair (a < b): |A∩B|, |A|, |B|,
+    and 1000·|A∩B| // |A∪B|.
+
+    Shape at scale: ONE distinct-aggregation shuffle on (source,
+    shingle) — the corpus-sized stage, map-side partial — then a
+    self-equi-join keyed on the shingle (bucketed hash join; a shingle
+    shared by m sources emits m(m-1)/2 pair rows, and m is bounded by
+    the source count, not the corpus). The per-source set sizes are a
+    source-sized broadcast back onto the pair rows. Never all-pairs on
+    documents.
+    """
+    sh = (
+        docs.select(
+            "source", F.split(F.col("text"), " ").alias("ws")
+        )
+        .filter(F.size("ws") >= k)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k - 1}), "
+                    f"i -> concat_ws(' ', slice(ws, i, {k})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    per = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pa = F.broadcast(per.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")))
+    pb = F.broadcast(per.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")))
+    return (
+        pairs.join(pa, "source_a")
+        .join(pb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("n_shared * 1000 DIV (n_a + n_b - n_shared)").alias(
+                "jaccard_milli"
+            ),
+        )
+    )

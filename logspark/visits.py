@@ -208,3 +208,42 @@ def visit_duration_buckets(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame
             F.sum("dur_s").alias("total_s"),
         )
     )
+
+
+def visit_hours(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+    """Matomo VisitTime (server time): visits per hour-of-day.
+
+    Per hour in which a visit OPENED (its first action's server hour):
+    visit count, total actions, bounces (single-action visits), and
+    distinct visitors. Matomo's VisitsByServerTime report keys on the
+    visit's first action exactly like this; the reference stops at
+    per-sink hit counts and delegates the report to the server.
+
+    Shape: the same sessionization shuffle as visit_daily_stats, then
+    one 24-key hash agg — the hour is pure integer math on the visit's
+    first tsec (seconds-within-month), never a session-zone instant, so
+    any engine lands on the same bucket. The distinct-visitor count is
+    map-side partial over a 24-row key space.
+    """
+    s = sessionize_hits(df, gap_s)
+    g = s.groupBy("ip", "ua_k", "visit_id").agg(
+        F.count("*").alias("n_actions"),
+        F.min("tsec").alias("first_tsec"),
+    )
+    return (
+        g.withColumn(
+            "hour_of_day",
+            F.expr("CAST((first_tsec % 86400) DIV 3600 AS INT)"),
+        )
+        .groupBy("hour_of_day")
+        .agg(
+            F.count("*").alias("n_visits"),
+            F.sum("n_actions").alias("n_actions"),
+            F.sum(F.when(F.col("n_actions") == 1, 1).otherwise(0)).alias(
+                "n_bounces"
+            ),
+            F.countDistinct(
+                F.concat(F.col("ip"), F.lit("\x01"), F.col("ua_k"))
+            ).alias("n_visitors"),
+        )
+    )

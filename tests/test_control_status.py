@@ -265,3 +265,35 @@ def test_scd2_apply_null_attrs(spark):
         (4, "y", t(1), t(5)),
         (4, None, t(5), None),
     }
+
+
+def test_slo_error_budget_integer_exact(spark):
+    """availability ppm / burn milli / breach are exact integer results;
+    a 0.2% 5xx day breaches the 99.9% target, an all-2xx day reads
+    1,000,000 ppm with zero burn."""
+    import datetime
+
+    from logspark import status as status_mod
+
+    base = datetime.datetime(2024, 3, 5, 10, 0, 0)
+    rows = [
+        # source a, one day: 500 requests, exactly 1 5xx -> 0.2% > 0.1%
+        *[("a", base, 200, True) for _ in range(499)],
+        ("a", base, 503, True),
+        # source b: 10 requests, no errors
+        *[("b", base, 200, True) for _ in range(10)],
+        # unparsed rows never count
+        ("a", base, None, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, status int, parsed_ok boolean"
+    )
+    out = {r["source"]: r for r in status_mod.slo_error_budget(df).collect()}
+    a = out["a"]
+    assert (a["n_req"], a["n_5xx"]) == (500, 1)
+    assert a["availability_ppm"] == 499 * 1000000 // 500  # 998000
+    assert a["burn_milli"] == 1 * 1000000000 // (500 * 1000)  # 2000 = 2x budget
+    assert a["breached"] is True
+    b = out["b"]
+    assert b["availability_ppm"] == 1000000
+    assert b["burn_milli"] == 0 and b["breached"] is False

@@ -784,3 +784,73 @@ def test_perplexity_buckets_one_source_window(spark, docs40):
     assert "BroadcastHashJoin" in txt
     assert txt.count("Window (") <= 2  # rank + count ride one partitioning
     assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+
+
+def test_device_report_no_join_tiny_key_agg(spark, small_corpus):
+    """DevicesDetection: narrow UA column work then one hash agg on a
+    tiny key space — zero joins, no window; the distinct-visitor count
+    rides the same (partial, final) aggregation pair."""
+    from logspark import enrich, pipeline
+
+    routed = pipeline.routed_hits(spark, small_corpus).filter(
+        F.col("parsed_ok")
+    )
+    txt = plan_text(enrich.device_report(routed))
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+    assert "Window" not in txt
+
+
+def test_slo_error_budget_single_rollup(spark, small_corpus):
+    """SLO ledger: one map-side-combinable agg on (source, day), then
+    narrow integer math — one exchange, zero joins."""
+    from logspark import pipeline, status
+
+    routed = pipeline.routed_hits(spark, small_corpus)
+    txt = plan_text(status.slo_error_budget(routed))
+    # the one BroadcastHashJoin is the routed pass's ext lookup; the SLO
+    # stage itself adds no join, no window, and exactly one exchange
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+    assert "Window" not in txt
+    assert shuffle_count(txt) == 1, txt
+
+
+def test_tokenizer_fertility_no_explode_no_join(spark, small_corpus):
+    """Fertility: the word count stays INSIDE a size(filter(split()))
+    expression — no Generate node materializes the word stream — then
+    one source-keyed exchange."""
+    from logspark import pipeline, textops
+
+    routed = pipeline.routed_hits(spark, small_corpus)
+    txt = plan_text(textops.tokenizer_fertility(routed))
+    assert "Generate" not in txt
+    # upstream routed pass carries the ext-lookup broadcast; fertility
+    # itself adds no join and exactly one exchange
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+    assert shuffle_count(txt) == 1, txt
+
+
+def test_source_overlap_equi_join_never_allpairs(spark, docs40):
+    """Cross-source overlap: candidate pairs come from an EQUI-join on
+    the shingle key; the per-source set sizes come back as broadcast
+    hash joins. No cartesian, no nested-loop."""
+    from logspark import textops
+
+    txt = plan_text(textops.source_overlap_matrix(docs40))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BroadcastHashJoin" in txt  # the set-size lookups
+
+
+def test_visit_hours_one_session_window(spark, small_corpus):
+    """VisitTime: the only window is the sessionization lag/running-sum
+    pair on the visitor key; the hour rollup is a plain 24-key agg —
+    no join anywhere."""
+    from logspark import pipeline, visits
+
+    routed = pipeline.routed_hits(spark, small_corpus).filter(
+        F.col("parsed_ok")
+    )
+    txt = plan_text(visits.visit_hours(routed))
+    # the one BroadcastHashJoin is the routed pass's ext lookup
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+    assert txt.count("Window (") <= 2, txt

@@ -674,3 +674,43 @@ def test_perplexity_buckets_thirds(spark):
     assert {b: out[b]["n_docs"] for b in out} == {"head": 3, "middle": 3, "tail": 3}
     assert out["head"]["max_score"] <= out["middle"]["min_score"]
     assert out["middle"]["max_score"] <= out["tail"]["min_score"]
+
+
+def test_tokenizer_fertility_exact_milli(spark):
+    """fertility_milli and chars_per_tok_milli are floor-divisions of
+    the exact totals."""
+    corpus = spark.createDataFrame(
+        [
+            ("d1", "s1", "ab cd", 5),   # 2 words, 5 tok, 5 chars
+            ("d2", "s1", "abc", 3),     # 1 word, 3 tok
+            ("d3", "s2", "a  b", 4),    # double space: 2 words
+        ],
+        "doc_id string, source string, line string, n_tok int",
+    )
+    out = {r["source"]: r for r in textops.tokenizer_fertility(corpus).collect()}
+    s1 = out["s1"]
+    assert (s1["tok_total"], s1["word_total"]) == (8, 3)
+    assert s1["fertility_milli"] == 8 * 1000 // 3
+    assert s1["chars_per_tok_milli"] == 1000  # chars == tokens here
+    s2 = out["s2"]
+    assert (s2["tok_total"], s2["word_total"]) == (4, 2)
+    assert s2["fertility_milli"] == 2000
+
+
+def test_source_overlap_exact_jaccard(spark):
+    """Two sources sharing exactly one distinct 3-shingle out of known
+    set sizes -> exact milli-Jaccard; disjoint pair emits no row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1", 0),     # shingles: 'a b c', 'b c d'
+            (2, "a b c", "s2", 0),       # shingle:  'a b c' (shared)
+            (3, "x y z w", "s3", 0),     # disjoint from s1/s2
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    rows = textops.source_overlap_matrix(docs).collect()
+    got = {(r["source_a"], r["source_b"]): r for r in rows}
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 1)
+    assert r["jaccard_milli"] == 1000 * 1 // (2 + 1 - 1)

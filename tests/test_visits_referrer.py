@@ -202,3 +202,56 @@ def test_site_search_param_priority_and_outlink_host(spark):
     assert set(dom) == {"ext.example.org"}
     assert dom["ext.example.org"]["n_hits"] == 2
     assert dom["ext.example.org"]["n_ips"] == 2
+
+
+def test_visit_hours_buckets_on_first_action(spark):
+    from logspark import visits
+
+    # visitor A opens at 10:00 with 2 actions (2nd at 10:40 — same visit?
+    # no: 2400 s gap > 1800 -> it's a NEW visit in hour 10).
+    # visitor B opens at 10:05, single action -> bounce in hour 10.
+    df = _hits(
+        spark,
+        [
+            (1, "1.1.1.1", "ua", 0),
+            (2, "1.1.1.1", "ua", 60),  # same visit (1 min later)
+            (3, "1.1.1.1", "ua", 2400 + 60),  # >30 min after hit 2: new visit
+            (4, "2.2.2.2", "ua", 300),  # bounce
+        ],
+    )
+    out = {r["hour_of_day"]: r for r in visits.visit_hours(df).collect()}
+    assert set(out) == {10}
+    h = out[10]
+    assert h["n_visits"] == 3  # A's two visits + B's one
+    assert h["n_actions"] == 4
+    assert h["n_bounces"] == 2  # A's 1-action second visit + B
+    assert h["n_visitors"] == 2
+
+
+def test_device_report_classifies_families(spark):
+    from logspark import enrich
+
+    rows = [
+        # (doc_id, ip, user_agent)
+        (1, "1.1.1.1", "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"),
+        (2, "1.1.1.1", "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"),
+        (3, "2.2.2.2", "curl/8.0 spider-probe"),  # 'spider' wins: bot
+        (4, "3.3.3.3", "wget/1.21"),
+        (5, "4.4.4.4", "Googlebot/2.1 (+http://www.google.com/bot.html)"),
+        (6, "5.5.5.5", None),  # format without a UA field
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ip string, user_agent string"
+    )
+    out = {
+        (r["browser"], r["browser_major"], r["os_family"], r["device_type"]): (
+            r["n_hits"],
+            r["n_visitors"],
+        )
+        for r in enrich.device_report(df).collect()
+    }
+    assert out[("mozilla", 5, "linux", "desktop")] == (2, 1)
+    assert out[("curl", 8, "other", "bot")] == (1, 1)
+    assert out[("wget", 1, "other", "cli")] == (1, 1)
+    assert out[("googlebot", 2, "other", "bot")] == (1, 1)
+    assert out[("unknown", None, "unknown", "unknown")] == (1, 1)
