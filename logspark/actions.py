@@ -80,3 +80,38 @@ def site_search_keywords(routed: DataFrame) -> DataFrame:
             F.countDistinct("ip").alias("n_searchers"),
         )
     )
+
+
+def trending_paths(routed: DataFrame, k: int = 10) -> DataFrame:
+    """Day-over-day trending pages: the k stems with the largest absolute
+    hit growth vs their previous active day.
+
+    Matomo's UI sorts the Pages report by today's hits; growth ranking is
+    the operations view (what broke out / what died). Per (stem, day)
+    hit counts, then a lag window per stem ordered by day (missing
+    previous day reads 0 — a page's first day trends by its full count),
+    then global top-k by (growth, day, stem) with a deterministic
+    tie-break.
+
+    Shape at scale: one corpus-sized hash agg to (stem, day) — after
+    which cardinality is stems x days, orders of magnitude smaller —
+    then a window partitioned by stem over that reduced table, then
+    TakeOrderedAndProject (never a global sort of the full table). Day
+    is the parsed day-of-month (TZ-free integer)."""
+    from pyspark.sql import Window
+
+    d = (
+        routed.filter(F.col("parsed_ok") & F.col("stem").isNotNull())
+        .groupBy("stem", F.dayofmonth("ts").alias("day"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("stem").orderBy("day")
+    g = d.select(
+        "stem",
+        "day",
+        "n_hits",
+        F.lag("n_hits", 1, 0).over(w).alias("prev_hits"),
+    ).withColumn("growth", F.col("n_hits") - F.col("prev_hits"))
+    return g.orderBy(
+        F.desc("growth"), F.asc("day"), F.asc("stem")
+    ).limit(k)

@@ -81,3 +81,47 @@ def date_conditional_filtered(source: Column, ts: Column) -> Column:
     (collection x server x date-boundary): varnish02 traffic after the 20th
     of the month is excluded in the synthetic regime."""
     return (source == "varnish02") & (F.dayofmonth(ts) > 20)
+
+
+def bot_velocity(routed: DataFrame, threshold: int = 5) -> DataFrame:
+    """Rate-based bot detection: per-IP request-velocity profile with a
+    burst flag — the behavioral complement to the UA-keyword taxonomy
+    (`is_bot`). Matomo's importer only knows UA/host exclusion rules; a
+    scraper with a clean UA is invisible to it. Velocity isn't: any IP
+    exceeding ``threshold`` hits within one wall-clock minute is flagged.
+
+    Per IP (parsed hits only): total hits, distinct active minutes,
+    the hottest minute's hit count, and ``flagged``. The minute bucket
+    is TZ-free integer math over the parsed timestamp FIELDS (same
+    discipline as the visit model — never an instant through a session
+    zone).
+
+    Shape at scale: two map-side-combinable hash aggs — (ip, minute)
+    then ip. A hot IP (the thing being measured) concentrates count
+    state, not rows: partial aggregation collapses its per-minute counts
+    before the shuffle, so skew costs a heavy reduce key, never executor
+    memory. No join, no window.
+    """
+    minute = (
+        (F.dayofmonth("ts") * 24 + F.hour("ts")) * 60 + F.minute("ts")
+    ).alias("minute_bucket")
+    per_min = (
+        routed.filter(F.col("parsed_ok") & F.col("ip").isNotNull())
+        .groupBy("ip", minute)
+        .agg(F.count("*").alias("n_in_min"))
+    )
+    return (
+        per_min.groupBy("ip")
+        .agg(
+            F.sum("n_in_min").alias("total_hits"),
+            F.count("*").alias("n_active_minutes"),
+            F.max("n_in_min").alias("max_per_minute"),
+        )
+        .select(
+            "ip",
+            "total_hits",
+            "n_active_minutes",
+            "max_per_minute",
+            (F.col("max_per_minute") > threshold).alias("flagged"),
+        )
+    )

@@ -564,3 +564,67 @@ def start_fanout_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def slo_alerts_via_stream(
+    spark: SparkSession, corpus: DataFrame, target_ppm: int = 1000
+) -> DataFrame:
+    """Streaming SLO monitor: per (source, day, hour) request / 5xx
+    counts with an integer-exact breach flag against a 99.9% target —
+    the alerting view a production log pipeline keeps hot while the
+    batch ledger (status.slo_error_budget) runs daily.
+
+    Parity harness shape (same discipline as route_counts_via_stream):
+    materialize the corpus to scratch parquet, drain it AvailableNow
+    through the SAME parse/route expressions as batch, aggregate in
+    complete mode — the hour keys are TZ-free integer fields of the
+    parsed event time, so the final table must equal the batch / DuckDB
+    oracle exactly. Production shape: the same plan over a file/Kafka
+    stream with update mode + a watermark sized to the alert latency;
+    state is one row per (source, day, hour) — keyset-sized, bounded by
+    retention, never corpus-sized.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="logspark_slo_stream_")
+    try:
+        inp = f"{base}/in"
+        corpus.repartition(16).write.mode("overwrite").parquet(inp)
+        name = f"slo_alerts_{uuid.uuid4().hex[:8]}"
+        with _drain_conf(spark):
+            stream = read_corpus_stream(spark, inp, max_files=None)
+            routed = routed_stream(spark, stream).filter(F.col("parsed_ok"))
+            agg = routed.groupBy(
+                "source",
+                F.dayofmonth("ts").alias("day"),
+                F.hour("ts").alias("hour"),
+            ).agg(
+                F.count("*").alias("n_req"),
+                F.sum(
+                    F.when(F.col("status") >= 500, 1).otherwise(0)
+                ).alias("n_5xx"),
+            )
+            out = agg.select(
+                "source",
+                "day",
+                "hour",
+                "n_req",
+                "n_5xx",
+                F.expr(f"n_5xx * 1000000 > n_req * {int(target_ppm)}").alias(
+                    "breached"
+                ),
+            )
+            q = (
+                out.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{base}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -854,3 +854,28 @@ def test_visit_hours_one_session_window(spark, small_corpus):
     # the one BroadcastHashJoin is the routed pass's ext lookup
     assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
     assert txt.count("Window (") <= 2, txt
+
+
+def test_bot_velocity_two_rollups_no_join(spark, small_corpus):
+    """Velocity profile: (ip, minute) agg then ip agg — two exchanges at
+    most (AQE may coalesce), both map-side partial; no join beyond the
+    routed pass's ext lookup, no window."""
+    from logspark import pipeline, rules
+
+    routed = pipeline.routed_hits(spark, small_corpus)
+    txt = plan_text(rules.bot_velocity(routed))
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+    assert "Window" not in txt
+    assert shuffle_count(txt) <= 2, txt
+
+
+def test_trending_paths_takeordered_after_reduction(spark, small_corpus):
+    """Trending: the window runs over the REDUCED (stem, day) table and
+    the top-k is TakeOrderedAndProject — never a global Sort of the
+    corpus."""
+    from logspark import actions, pipeline
+
+    routed = pipeline.routed_hits(spark, small_corpus)
+    txt = plan_text(actions.trending_paths(routed))
+    assert "TakeOrderedAndProject" in txt
+    assert txt.count("Window (") == 1

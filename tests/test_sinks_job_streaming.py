@@ -534,3 +534,42 @@ def test_anonymize_ip_flag_validation():
         enrich.anonymize_ip("ip", keep_octets=-1)
     with pytest.raises(ValueError):
         enrich.anonymize_ip("ip", keep_octets=5)
+
+
+def test_streaming_slo_alerts_matches_batch_ledger(spark, small_corpus):
+    """The streamed (source, day, hour) SLO table equals the batch
+    computation over the same routed corpus, breach flags included."""
+    from logspark import pipeline, streaming
+
+    got = {
+        (r["source"], r["day"], r["hour"]): (
+            r["n_req"],
+            r["n_5xx"],
+            r["breached"],
+        )
+        for r in streaming.slo_alerts_via_stream(spark, small_corpus).collect()
+    }
+    routed = pipeline.routed_hits(spark, small_corpus).filter(
+        F.col("parsed_ok")
+    )
+    want = {
+        (r["source"], r["day"], r["hour"]): (
+            r["n_req"],
+            r["n_5xx"],
+            r["breached"],
+        )
+        for r in routed.groupBy(
+            "source",
+            F.dayofmonth("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_req"),
+            F.sum(F.when(F.col("status") >= 500, 1).otherwise(0)).alias(
+                "n_5xx"
+            ),
+        )
+        .withColumn("breached", F.expr("n_5xx * 1000000 > n_req * 1000"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -255,3 +255,59 @@ def test_device_report_classifies_families(spark):
     assert out[("wget", 1, "other", "cli")] == (1, 1)
     assert out[("googlebot", 2, "other", "bot")] == (1, 1)
     assert out[("unknown", None, "unknown", "unknown")] == (1, 1)
+
+
+def test_bot_velocity_flags_burst_ip(spark):
+    import datetime
+
+    from logspark import rules
+
+    base = datetime.datetime(2024, 3, 5, 10, 0, 0)
+    rows = [
+        # burst IP: 6 hits inside minute 0, 1 hit in minute 2
+        *[("9.9.9.9", base + datetime.timedelta(seconds=i)) for i in range(6)],
+        ("9.9.9.9", base + datetime.timedelta(seconds=125)),
+        # calm IP: 3 hits across 3 minutes
+        *[("1.1.1.1", base + datetime.timedelta(seconds=61 * i)) for i in range(3)],
+    ]
+    df = spark.createDataFrame(
+        [(ip, ts, True) for ip, ts in rows],
+        "ip string, ts timestamp, parsed_ok boolean",
+    )
+    out = {r["ip"]: r for r in rules.bot_velocity(df, threshold=5).collect()}
+    hot = out["9.9.9.9"]
+    assert (hot["total_hits"], hot["n_active_minutes"], hot["max_per_minute"]) == (7, 2, 6)
+    assert hot["flagged"] is True
+    calm = out["1.1.1.1"]
+    assert calm["max_per_minute"] == 1 and calm["flagged"] is False
+
+
+def test_trending_paths_growth_and_first_day(spark):
+    import datetime
+
+    from logspark import actions
+
+    def hit(stem, day, n):
+        return [
+            (
+                stem,
+                datetime.datetime(2024, 3, day, 10, 0, 0)
+                + datetime.timedelta(seconds=i),
+                True,
+            )
+            for i in range(n)
+        ]
+
+    rows = (
+        hit("/a", 1, 2) + hit("/a", 2, 10)  # growth 8 on day 2
+        + hit("/b", 2, 5)                   # first day: growth = 5
+        + hit("/c", 1, 7) + hit("/c", 2, 3) # decline: growth -4
+    )
+    df = spark.createDataFrame(
+        rows, "stem string, ts timestamp, parsed_ok boolean"
+    )
+    got = [
+        (r["stem"], r["day"], r["growth"])
+        for r in actions.trending_paths(df, k=3).collect()
+    ]
+    assert got == [("/a", 2, 8), ("/c", 1, 7), ("/b", 2, 5)]
