@@ -1882,3 +1882,77 @@ def source_overlap_matrix(docs: DataFrame, k: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def novelty_curve(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """N-gram novelty curve over deterministic training order: how fast
+    does the corpus stop teaching new shingle types?
+
+    Diversity-saturation readout for dataset sizing: walk the corpus in
+    the SAME content-addressed pseudo-random order corpus_shuffle emits,
+    split it into ``n_buckets`` equal training phases, and count per
+    phase the 2-word shingle types seen for the FIRST time vs total
+    shingle occurrences. A flat tail (novelty_milli → 0) says more of
+    the same data buys vocabulary nothing — the curve every scaling-law
+    sizing run wants before committing epochs.
+
+    Determinism: the phase is pure integer math on the portable-hash
+    shuffle key (skey uniform in [0, 2^32), bucket = skey·n // 2^32) —
+    NO global sort, no rank; first-occurrence ownership is one min-agg
+    of the (skey, doc_id) struct per shingle, skew-safe where a window
+    over hot boilerplate shingles would not be (paragraph_dedup's
+    lesson). Shape: shingle explode → one agg keyed by shingle
+    (map-side partial) + one occurrence rollup keyed by bucket, then
+    bucket-sized joins.
+    """
+    d = docs.withColumn(
+        "dg",
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))),
+    ).withColumn("skey", F.expr(ph.hex32_from_digest_sql("dg")))
+    d = d.withColumn(
+        "bucket",
+        F.expr(f"CAST(skey * {int(n_buckets)} DIV 4294967296 AS INT)"),
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            "skey",
+            "bucket",
+            F.split(F.col("text"), " ").alias("ws"),
+        )
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "skey",
+            "bucket",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> concat_ws(' ', slice(ws, i, 2)))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    occ = sh.groupBy("bucket").agg(F.count("*").alias("n_occurrences"))
+    firsts = (
+        sh.groupBy("shingle")
+        .agg(F.min(F.struct("skey", "doc_id", "bucket")).alias("f"))
+        .groupBy(F.col("f.bucket").alias("bucket"))
+        .agg(F.count("*").alias("novel_shingles"))
+    )
+    nd = d.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    # LEFT from the occurrence rollup: a saturated late phase contributes
+    # zero FIRST-seen types and must read novelty 0, not vanish
+    return (
+        occ.join(firsts, "bucket", "left")
+        .join(nd, "bucket")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_occurrences",
+            F.coalesce("novel_shingles", F.lit(0)).alias("novel_shingles"),
+            F.expr(
+                "coalesce(novel_shingles, 0) * 1000 DIV n_occurrences"
+            ).alias("novelty_milli"),
+        )
+    )

@@ -247,3 +247,41 @@ def visit_hours(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
             ).alias("n_visitors"),
         )
     )
+
+
+# Matomo VisitorInterest pages-per-visit ranges (config/general.php
+# 'visitor_interest_pages' analog) — upper bound in actions, label.
+PAGES_BUCKETS = [
+    (1, "1p"),
+    (3, "2-3p"),
+    (5, "4-5p"),
+    (8, "6-8p"),
+    (13, "9-13p"),
+]
+
+
+def pages_per_visit_buckets(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+    """Matomo VisitorInterest (second half): distribution of visits by
+    actions-per-visit over the standard ranges (plus '14p+') — the
+    companion to visit_duration_buckets, same shape: one agg to
+    per-visit action counts, one CASE, one count per bucket. The bucket
+    table is a CASE expression (bounded, versioned with the code the way
+    Matomo versions its config ranges), not a join."""
+    s = sessionize_hits(df, gap_s)
+    g = s.groupBy("ip", "ua_k", "visit_id").agg(
+        F.count("*").alias("n_actions"),
+    )
+    bucket = F.when(
+        F.col("n_actions") <= PAGES_BUCKETS[0][0], F.lit(PAGES_BUCKETS[0][1])
+    )
+    for hi, label in PAGES_BUCKETS[1:]:
+        bucket = bucket.when(F.col("n_actions") <= hi, F.lit(label))
+    bucket = bucket.otherwise(F.lit("14p+"))
+    return (
+        g.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_visits"),
+            F.sum("n_actions").alias("total_actions"),
+        )
+    )

@@ -879,3 +879,15 @@ def test_trending_paths_takeordered_after_reduction(spark, small_corpus):
     txt = plan_text(actions.trending_paths(routed))
     assert "TakeOrderedAndProject" in txt
     assert txt.count("Window (") == 1
+
+
+def test_novelty_curve_min_agg_not_window(spark, docs40):
+    """First-occurrence ownership is a min-AGG per shingle (skew-safe),
+    never a window over the shingle stream; phase bucketing is integer
+    math — no global sort, no range exchange."""
+    from logspark import textops
+
+    txt = plan_text(textops.novelty_curve(docs40))
+    assert "Window" not in txt
+    assert "rangepartitioning" not in txt.lower()
+    assert "CartesianProduct" not in txt

@@ -714,3 +714,18 @@ def test_source_overlap_exact_jaccard(spark):
     r = got[("s1", "s2")]
     assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 1)
     assert r["jaccard_milli"] == 1000 * 1 // (2 + 1 - 1)
+
+
+def test_novelty_curve_conserves_types_and_covers_phases(docs):
+    """Novel counts sum to the distinct shingle-type count; occurrences
+    sum to the total shingle count; every phase with occurrences
+    appears (zero-novelty phases read 0, not dropped)."""
+    out = textops.novelty_curve(docs).collect()
+    total_novel = sum(r["novel_shingles"] for r in out)
+    total_occ = sum(r["n_occurrences"] for r in out)
+    sh = textops.shingles_df(docs, k=2)
+    assert total_novel == sh.select("shingle").distinct().count()
+    assert total_occ == sh.count()
+    for r in out:
+        assert 0 <= r["novelty_milli"] <= 1000
+        assert r["novel_shingles"] * 1000 // r["n_occurrences"] == r["novelty_milli"]

@@ -311,3 +311,19 @@ def test_trending_paths_growth_and_first_day(spark):
         for r in actions.trending_paths(df, k=3).collect()
     ]
     assert got == [("/a", 2, 8), ("/c", 1, 7), ("/b", 2, 5)]
+
+
+def test_pages_per_visit_bucket_boundaries(spark):
+    from logspark import visits
+
+    # one visitor per target bucket: 1, 3, 6, and 14 actions in one visit
+    rows = []
+    for i, n in enumerate([1, 3, 6, 14]):
+        rows += [(100 * i + j, f"10.0.0.{i}", "ua", j) for j in range(n)]
+    df = _hits(spark, rows)
+    out = {r["bucket"]: r for r in visits.pages_per_visit_buckets(df).collect()}
+    assert out["1p"]["n_visits"] == 1 and out["1p"]["total_actions"] == 1
+    assert out["2-3p"]["n_visits"] == 1 and out["2-3p"]["total_actions"] == 3
+    assert out["6-8p"]["n_visits"] == 1
+    assert out["14p+"]["n_visits"] == 1 and out["14p+"]["total_actions"] == 14
+    assert "4-5p" not in out and "9-13p" not in out
