@@ -590,6 +590,10 @@ def main() -> None:
             lambda: entrymod._embedding_pairs(spark, SF_DIR).count(),
         ),
         ("ivf_index", lambda: entrymod._ivf_index_path(spark, SF_DIR)),
+        (
+            "visit_sessions",
+            lambda: entrymod._visit_sessions(spark, SF_DIR).count(),
+        ),
     ):
         t0 = time.time()
         run()

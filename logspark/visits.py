@@ -63,14 +63,24 @@ def sessionize_hits(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
     )
 
 
-def visit_daily_stats(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+def _sessions(df: DataFrame, gap_s: int, sessionized: bool) -> DataFrame:
+    """Reports share one sessionization pass when the caller has already
+    materialized it (``sessionized=True`` — the contract harness
+    checkpoints sessionize_hits once for the whole visit-report family;
+    at 10^12 rows that is ONE visitor-key shuffle instead of six)."""
+    return df if sessionized else sessionize_hits(df, gap_s)
+
+
+def visit_daily_stats(
+    df: DataFrame, gap_s: int = VISIT_GAP_S, sessionized: bool = False
+) -> DataFrame:
     """Per day-of-month visit report: visits, bounces, actions.
 
     A visit is attributed to the day of its FIRST hit (Matomo semantics).
     Two aggregations: hits -> visits (on the visitor+visit key), then
     visits -> days; both map-side-combinable, no window after the first.
     """
-    s = sessionize_hits(df, gap_s)
+    s = _sessions(df, gap_s, sessionized)
     visits = s.groupBy("ip", "ua_k", "visit_id").agg(
         F.count("*").alias("n_actions"),
         F.min("tsec").alias("first_tsec"),
@@ -89,7 +99,9 @@ def visit_daily_stats(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
         )
     )
 
-def visitor_frequency(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+def visitor_frequency(
+    df: DataFrame, gap_s: int = VISIT_GAP_S, sessionized: bool = False
+) -> DataFrame:
     """Matomo VisitFrequency report: per day, visits split into NEW
     (the visitor key's first visit in the corpus window) vs RETURNING
     (visit_id > 1 — the key already opened an earlier visit), with the
@@ -103,7 +115,7 @@ def visitor_frequency(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
     aggregate; ``returning`` is a pure function of visit_id, so the day
     rollup stays a map-side-combinable hash agg. Nothing new shuffles
     beyond visit_daily_stats."""
-    s = sessionize_hits(df, gap_s)
+    s = _sessions(df, gap_s, sessionized)
     visits = s.groupBy("ip", "ua_k", "visit_id").agg(
         F.count("*").alias("n_actions"),
         F.min("tsec").alias("first_tsec"),
@@ -127,7 +139,9 @@ def visitor_frequency(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
     )
 
 
-def entry_exit_pages(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+def entry_exit_pages(
+    df: DataFrame, gap_s: int = VISIT_GAP_S, sessionized: bool = False
+) -> DataFrame:
     """Matomo Actions > Entry/Exit pages: per stem, how many visits ENTER
     on it (first action) and how many EXIT on it (last action).
 
@@ -146,7 +160,7 @@ def entry_exit_pages(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
     aggregations are plain hash aggs on corpus-cardinality keys. The
     skew note on sessionize_hits (hot NAT visitor) applies unchanged.
     """
-    s = sessionize_hits(df, gap_s)
+    s = _sessions(df, gap_s, sessionized)
     g = s.groupBy("ip", "ua_k", "visit_id").agg(
         F.min(F.struct("tsec", "doc_id", "stem")).alias("e"),
         F.max(F.struct("tsec", "doc_id", "stem")).alias("x"),
@@ -181,7 +195,9 @@ DURATION_BUCKETS = [
 ]
 
 
-def visit_duration_buckets(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+def visit_duration_buckets(
+    df: DataFrame, gap_s: int = VISIT_GAP_S, sessionized: bool = False
+) -> DataFrame:
     """Matomo VisitorInterest: distribution of visit lengths over the
     standard duration buckets (plus '30min+').
 
@@ -191,7 +207,7 @@ def visit_duration_buckets(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame
     count per bucket — the bucket table is a CASE expression, not a
     join, so nothing is broadcast and the plan is two hash aggs.
     """
-    s = sessionize_hits(df, gap_s)
+    s = _sessions(df, gap_s, sessionized)
     g = s.groupBy("ip", "ua_k", "visit_id").agg(
         (F.max("tsec") - F.min("tsec")).alias("dur_s"),
     )
@@ -210,7 +226,9 @@ def visit_duration_buckets(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame
     )
 
 
-def visit_hours(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+def visit_hours(
+    df: DataFrame, gap_s: int = VISIT_GAP_S, sessionized: bool = False
+) -> DataFrame:
     """Matomo VisitTime (server time): visits per hour-of-day.
 
     Per hour in which a visit OPENED (its first action's server hour):
@@ -225,7 +243,7 @@ def visit_hours(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
     any engine lands on the same bucket. The distinct-visitor count is
     map-side partial over a 24-row key space.
     """
-    s = sessionize_hits(df, gap_s)
+    s = _sessions(df, gap_s, sessionized)
     g = s.groupBy("ip", "ua_k", "visit_id").agg(
         F.count("*").alias("n_actions"),
         F.min("tsec").alias("first_tsec"),
@@ -260,14 +278,16 @@ PAGES_BUCKETS = [
 ]
 
 
-def pages_per_visit_buckets(df: DataFrame, gap_s: int = VISIT_GAP_S) -> DataFrame:
+def pages_per_visit_buckets(
+    df: DataFrame, gap_s: int = VISIT_GAP_S, sessionized: bool = False
+) -> DataFrame:
     """Matomo VisitorInterest (second half): distribution of visits by
     actions-per-visit over the standard ranges (plus '14p+') — the
     companion to visit_duration_buckets, same shape: one agg to
     per-visit action counts, one CASE, one count per bucket. The bucket
     table is a CASE expression (bounded, versioned with the code the way
     Matomo versions its config ranges), not a join."""
-    s = sessionize_hits(df, gap_s)
+    s = _sessions(df, gap_s, sessionized)
     g = s.groupBy("ip", "ua_k", "visit_id").agg(
         F.count("*").alias("n_actions"),
     )

@@ -90,5 +90,6 @@ def test_bench_emits_driver_contract_json(tmp_path):
         "neardup_pairs",
         "embedding_pairs",
         "ivf_index",
+        "visit_sessions",
     }
     assert d["pipeline"]["rows"] == 20000
