@@ -352,7 +352,7 @@ h AS (SELECT g, {h32} AS _h FROM d0),
 r AS (SELECT g, _h % {HLL_M} AS reg, {_hll_rho_sql(suffix)} AS rho FROM h),
 m AS (SELECT g, reg, MAX(rho) AS max_rho FROM r GROUP BY g, reg)
 SELECT g, COUNT(*) AS registers_hit,
-       SUM({_hll_pow_sql("max_rho")}) AS reg_sum
+       CAST(SUM({_hll_pow_sql("max_rho")}) AS BIGINT) AS reg_sum
 FROM m GROUP BY g"""
 
 

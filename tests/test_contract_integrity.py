@@ -61,3 +61,38 @@ def test_every_oracle_has_a_query():
     q = set(_literal_keys("queries"))
     o = set(_literal_keys("oracle_sql"))
     assert o <= q, f"oracle_sql keys missing from queries(): {sorted(o - q)}"
+
+
+def test_oracle_outputs_bind_to_no_decimal_types():
+    """Driver-hash dtype discipline: DuckDB returns an uncast SUM(BIGINT)
+    as decimal128 over Arrow while Spark returns int64; the driver's value
+    hash is dtype-sensitive, so a value-correct query gets a red stamp
+    (round-4 postmortem: six visit-report/HLL oracles). No source table
+    carries DECIMAL, so Spark never emits one — therefore NO oracle output
+    column may bind to DECIMAL/HUGEINT. Binding (relation .types) is
+    plan-only: no query executes, the whole sweep is sub-second."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, os.path.dirname(ENTRY))
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders "
+        "lineitem events documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            ts = str(typ)
+            if "DECIMAL" in ts or "HUGEINT" in ts:
+                bad.append(f"{name}.{col}: {ts} (wrap in CAST(... AS BIGINT))")
+    assert not bad, "uncast aggregate types in oracle_sql():\n" + "\n".join(bad)
