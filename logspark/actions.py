@@ -30,6 +30,28 @@ OUTLINK_HOST_RE = r"^to=https?://([^/?&]+)"
 # keyword) — first match wins, like Matomo's SiteSearch detection.
 SEARCH_PARAMS = ["q", "query", "s", "search", "searchword", "k", "keyword"]
 
+# Matomo campaign-detection parameters (Referrers > Campaigns;
+# MarketingCampaignsReporting plugin defaults) in priority order:
+# Matomo's own pk_* names beat the mtm_* aliases beat Google's utm_*.
+# The `(?:^|&)` anchor in _first_param_expr keeps `utm_source` from ever
+# matching the site-search `s=` regex and vice versa.
+CAMPAIGN_NAME_PARAMS = ["pk_campaign", "mtm_campaign", "utm_campaign"]
+CAMPAIGN_SOURCE_PARAMS = ["pk_source", "mtm_source", "utm_source"]
+CAMPAIGN_MEDIUM_PARAMS = ["pk_medium", "mtm_medium", "utm_medium"]
+
+
+def first_param_expr(params: list, query_col: str = "query") -> F.Column:
+    """First non-empty value among ``params`` in the raw query string —
+    one anchored regex per name, coalesced in priority order (the same
+    shape as search_keyword_expr; all JVM-side in codegen)."""
+    vals = [
+        F.nullif(
+            F.regexp_extract(query_col, rf"(?:^|&){p}=([^&]*)", 1), F.lit("")
+        )
+        for p in params
+    ]
+    return F.coalesce(*vals)
+
 
 def outlink_domains(routed: DataFrame) -> DataFrame:
     """(domain, n_hits, n_ips) over hits routed to the outlink sink."""

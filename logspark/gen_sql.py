@@ -71,6 +71,15 @@ SELECT
   CASE
     WHEN d % 23 = 5 THEN 'to=http://external-' || CAST(d % 40 AS STRING) || '.example.com'
     WHEN d % 23 >= 7 AND d % 3 = 0 THEN 'q=spark'
+    WHEN d % 23 >= 7 AND d % 3 = 1 AND d % 7 = 0 THEN
+      'utm_campaign=spring-' || CAST(d % 5 AS STRING)
+        || '&utm_source=newsletter&utm_medium=email'
+    WHEN d % 23 >= 7 AND d % 3 = 1 AND d % 7 = 1 THEN
+      'pk_campaign=retarget-' || CAST(d % 4 AS STRING)
+        || '&pk_source=adnet-' || CAST(d % 2 AS STRING)
+        || '&utm_campaign=shadowed'
+    WHEN d % 23 >= 7 AND d % 3 = 1 AND d % 7 = 2 THEN
+      'mtm_campaign=launch&mtm_source=social&mtm_medium=cpc&q=spark'
     ELSE '' END                                                 AS query,
   CASE WHEN d % 31 = 0 THEN 404
        WHEN d % 31 = 1 THEN 500

@@ -94,7 +94,11 @@ def bot_velocity(routed: DataFrame, threshold: int = 5) -> DataFrame:
     the hottest minute's hit count, and ``flagged``. The minute bucket
     is TZ-free integer math over the parsed timestamp FIELDS (same
     discipline as the visit model — never an instant through a session
-    zone).
+    zone), with year and month folded in so hits from the same
+    day-of-month of DIFFERENT months never collapse into one wall-clock
+    minute (ADVICE r4 — the bucket value is internal grouping state,
+    never an output column, so the formula only has to distinguish
+    minutes, not match the oracle's numeric value).
 
     Shape at scale: two map-side-combinable hash aggs — (ip, minute)
     then ip. A hot IP (the thing being measured) concentrates count
@@ -103,7 +107,13 @@ def bot_velocity(routed: DataFrame, threshold: int = 5) -> DataFrame:
     memory. No join, no window.
     """
     minute = (
-        (F.dayofmonth("ts") * 24 + F.hour("ts")) * 60 + F.minute("ts")
+        (
+            ((F.year("ts") * 12 + F.month("ts")) * 32 + F.dayofmonth("ts"))
+            * 24
+            + F.hour("ts")
+        )
+        * 60
+        + F.minute("ts")
     ).alias("minute_bucket")
     per_min = (
         routed.filter(F.col("parsed_ok") & F.col("ip").isNotNull())

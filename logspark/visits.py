@@ -305,3 +305,65 @@ def pages_per_visit_buckets(
             F.sum("n_actions").alias("total_actions"),
         )
     )
+
+
+def campaign_attribution(
+    df: DataFrame, gap_s: int = VISIT_GAP_S, sessionized: bool = False
+) -> DataFrame:
+    """Matomo Referrers > Campaigns over the visit model: visits
+    attributed to the campaign of their FIRST campaign-tagged action
+    (Matomo's campaign detection fires on the action that carries a
+    pk_/mtm_/utm_ campaign parameter and stamps the visit; param priority
+    in actions.CAMPAIGN_*_PARAMS). Source/medium come from the same
+    attributing action; absent ones report '(not set)' like Matomo.
+
+    Output: (campaign, source, medium, n_visits, total_actions) where
+    total_actions counts ALL actions of attributed visits (the report's
+    depth column), not just tagged ones.
+
+    Shape & scale: over the shared sessionization pass this is two hash
+    aggregations and nothing else — per-visit attribution is a single
+    min-of-struct ordered by (tsec, doc_id) (conditional on the campaign
+    column, so untagged visits fold to NULL and drop), computed in the
+    SAME aggregation as the per-visit action count; the hits->visits agg
+    groups on a superset of the sessionization's visitor key, so it
+    reuses that partitioning with ZERO new shuffles (plan-pinned in
+    tests/test_plans.py), and the final campaign rollup shuffles a
+    visit-sized table on a campaign-cardinality key (tiny)."""
+    from logspark import actions
+
+    s = _sessions(df, gap_s, sessionized)
+    s = s.withColumn(
+        "campaign", actions.first_param_expr(actions.CAMPAIGN_NAME_PARAMS)
+    ).withColumn(
+        "c_source", actions.first_param_expr(actions.CAMPAIGN_SOURCE_PARAMS)
+    ).withColumn(
+        "c_medium", actions.first_param_expr(actions.CAMPAIGN_MEDIUM_PARAMS)
+    )
+    per_visit = s.groupBy("ip", "ua_k", "visit_id").agg(
+        F.count("*").alias("n_actions"),
+        F.min(
+            F.when(
+                F.col("campaign").isNotNull(),
+                F.struct("tsec", "doc_id", "campaign", "c_source", "c_medium"),
+            )
+        ).alias("attr"),
+    )
+    return (
+        per_visit.filter(F.col("attr").isNotNull())
+        .select(
+            F.col("attr.campaign").alias("campaign"),
+            F.coalesce(F.col("attr.c_source"), F.lit("(not set)")).alias(
+                "source"
+            ),
+            F.coalesce(F.col("attr.c_medium"), F.lit("(not set)")).alias(
+                "medium"
+            ),
+            "n_actions",
+        )
+        .groupBy("campaign", "source", "medium")
+        .agg(
+            F.count("*").alias("n_visits"),
+            F.sum("n_actions").alias("total_actions"),
+        )
+    )

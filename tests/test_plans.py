@@ -610,6 +610,24 @@ def test_visit_stats_single_visitor_shuffle(spark, corpus_parquet):
     assert shuffle_count(txt) <= 2, txt
 
 
+def test_campaign_attribution_no_shuffle_beyond_sessionization(
+    spark, corpus_parquet
+):
+    """Campaign attribution over the shared visit model: the per-visit
+    min-of-struct attribution groups on a SUPERSET of the sessionization
+    window's (ip, ua_k) partitioning, so it must reuse that exchange; the
+    only additional exchange allowed is the final campaign-cardinality
+    rollup of visit-sized rows. Same budget as
+    test_visit_stats_single_visitor_shuffle: <= 2 total."""
+    from logspark import parse, pipeline, visits
+
+    df = pipeline.detokenized(spark.read.parquet(corpus_parquet))
+    df = parse.parse_lines(df, "line").filter("parsed_ok")
+    out = visits.campaign_attribution(df)
+    txt = plan_text(out)
+    assert shuffle_count(txt) <= 2, txt
+
+
 def test_pmi_collocations_takeordered_no_global_sort(spark, small_corpus):
     """Top-k by PMI must be TakeOrderedAndProject over broadcast-joined
     vocabulary counts — never a global Sort of the bigram table."""

@@ -327,3 +327,42 @@ def test_pages_per_visit_bucket_boundaries(spark):
     assert out["6-8p"]["n_visits"] == 1
     assert out["14p+"]["n_visits"] == 1 and out["14p+"]["total_actions"] == 14
     assert "4-5p" not in out and "9-13p" not in out
+
+
+def test_campaign_attribution_first_tagged_action_and_priority(spark):
+    import datetime
+
+    from logspark import visits
+
+    base = datetime.datetime(2024, 3, 5, 10, 0, 0)
+
+    def hit(doc_id, ip, sec, query):
+        return (doc_id, ip, "ua", base + datetime.timedelta(seconds=sec), query)
+
+    df = spark.createDataFrame(
+        [
+            # visitor A, one visit: untagged first action, then utm-tagged,
+            # then a LATER pk-tagged action — attribution sticks to the
+            # first TAGGED action (utm), not the first action or the
+            # higher-priority param on a later action
+            hit(1, "1.1.1.1", 0, ""),
+            hit(2, "1.1.1.1", 60, "utm_campaign=c1&utm_source=s1"),
+            hit(3, "1.1.1.1", 120, "pk_campaign=c2"),
+            # visitor B: pk_campaign beats utm_campaign ON THE SAME action
+            hit(4, "2.2.2.2", 0, "utm_campaign=shadow&pk_campaign=real"),
+            # visitor C: never tagged -> excluded from the report
+            hit(5, "3.3.3.3", 0, "q=spark"),
+        ],
+        "doc_id long, ip string, user_agent string, ts timestamp, query string",
+    )
+    out = {
+        (r["campaign"], r["source"], r["medium"]): (
+            r["n_visits"],
+            r["total_actions"],
+        )
+        for r in visits.campaign_attribution(df).collect()
+    }
+    assert out == {
+        ("c1", "s1", "(not set)"): (1, 3),
+        ("real", "(not set)", "(not set)"): (1, 1),
+    }
