@@ -220,6 +220,7 @@ def minhash_estimate_eval(
     docs: DataFrame,
     num_perms: int = NUM_PERMS,
     rows_per_band: int = LSH_ROWS_PER_BAND,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Grade the MinHash ESTIMATOR itself on every LSH candidate pair:
     the signature-agreement estimate (agreeing components / num_perms —
@@ -236,8 +237,14 @@ def minhash_estimate_eval(
     # the candidate/verify side each need the full signature table, and as
     # separate lazy plans the shingle->md5->min aggregation would run twice
     # (lineage-truncating checkpoint = the stored signature table a
-    # production index would read).
-    sigs = minhash_signatures(docs, num_perms).localCheckpoint(eager=False)
+    # production index would read). A caller that already materialized the
+    # signature table (the contract's shared _minhash_sigs pass) hands it
+    # in via ``signatures`` and the pass is not rebuilt at all.
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, num_perms).localCheckpoint(eager=False)
+    )
     exact = minhash_neardup_verified(
         docs, num_perms, rows_per_band, threshold=0.0, signatures=sigs
     )
@@ -903,6 +910,7 @@ def incremental_dedup(
     num_perms: int = NUM_PERMS,
     rows_per_band: int = LSH_ROWS_PER_BAND,
     threshold: float = 0.7,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-crawl dedup: a NEW batch checked against a HISTORICAL
     corpus index (not self-join dedup — the index side is precomputed and
@@ -920,7 +928,11 @@ def incremental_dedup(
     candidate-keyed exact-Jaccard verify identical to
     minhash_neardup_verified. No O(n^2) stage; index growth only widens
     the hash join's build side, which shuffles on selective band keys."""
-    sig = minhash_signatures(docs, num_perms)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, num_perms)
+    )
     banded = lsh_bands(sig, rows_per_band)
     nb = banded.filter(F.col("doc_id") % 2 == 1)
     hb = banded.filter(F.col("doc_id") % 2 == 0).select(
