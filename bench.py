@@ -608,6 +608,20 @@ def main() -> None:
             "visit_sessions",
             lambda: entrymod._visit_sessions(spark, SF_DIR).count(),
         ),
+        # round-5 shared passes: the BPE training chain (feeds both bpe_*
+        # queries) and the SCD2 dimension (feeds scd2 + the point-in-time
+        # join); materialized here so their one-time build cost is its own
+        # line item instead of landing on whichever consumer runs first
+        (
+            "bpe_train",
+            lambda: [
+                df.count() for df in entrymod._bpe_trained(spark, SF_DIR)
+            ][-1],
+        ),
+        (
+            "scd2_dim",
+            lambda: entrymod.q_scd2_user_segments(spark, SF_DIR).count(),
+        ),
     ):
         t0 = time.time()
         run()

@@ -91,9 +91,15 @@ def _step(state: DataFrame, step_no: int):
     return new_state, best
 
 
-def learn_merges(docs: DataFrame, steps: int = 4) -> DataFrame:
-    """The learned merge table: (step, pair, merged, cnt), one row per
-    training step, in training order."""
+def train_state(docs: DataFrame, steps: int = 4):
+    """Run the full training chain once: (final_state, merge_table).
+
+    Both contract consumers need the identical chain — learn_merges wants
+    the per-step merge rows, token_counts_after_merges wants the final
+    post-merge symbol state — so a caller can train once (the state is
+    vocabulary-sized; the contract memoizes + lineage-truncates it) and
+    hand the pair to both instead of paying the 4-step argmax chain
+    twice."""
     state = _word_histogram(docs)
     learned = []
     for t in range(1, steps + 1):
@@ -102,15 +108,23 @@ def learn_merges(docs: DataFrame, steps: int = 4) -> DataFrame:
     out = learned[0]
     for b in learned[1:]:
         out = out.unionByName(b)
-    return out
+    return state, out
 
 
-def token_counts_after_merges(docs: DataFrame, steps: int = 4) -> DataFrame:
+def learn_merges(
+    docs: DataFrame, steps: int = 4, trained=None
+) -> DataFrame:
+    """The learned merge table: (step, pair, merged, cnt), one row per
+    training step, in training order."""
+    return (trained if trained is not None else train_state(docs, steps))[1]
+
+
+def token_counts_after_merges(
+    docs: DataFrame, steps: int = 4, trained=None
+) -> DataFrame:
     """Per-document token counts before (chars) and after the learned
     merges were applied: (doc_id, n_base, n_bpe)."""
-    state = _word_histogram(docs)
-    for t in range(1, steps + 1):
-        state, _ = _step(state, t)
+    state = (trained if trained is not None else train_state(docs, steps))[0]
     per_word = state.select(
         "word",
         F.length("word").alias("w_base"),

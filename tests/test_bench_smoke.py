@@ -91,5 +91,7 @@ def test_bench_emits_driver_contract_json(tmp_path):
         "embedding_pairs",
         "ivf_index",
         "visit_sessions",
+        "bpe_train",
+        "scd2_dim",
     }
     assert d["pipeline"]["rows"] == 20000
