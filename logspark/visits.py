@@ -367,3 +367,30 @@ def campaign_attribution(
             F.sum("n_actions").alias("total_actions"),
         )
     )
+
+
+def unique_visitors_daily(
+    df: DataFrame, gap_s: int = VISIT_GAP_S, sessionized: bool = False
+) -> DataFrame:
+    """Matomo's nb_uniq_visitors for the Visits report: per day-of-month,
+    distinct visitor keys ACTIVE that day (any action — Matomo counts a
+    visitor as unique per day they appear, not per the day their visit
+    opened) plus the day's hit count.
+
+    The visitor key is rendered as one tab-joined string so the distinct
+    is over an identical scalar in Spark and the DuckDB oracle (tuple
+    DISTINCT semantics differ in rendering; tab cannot occur in either
+    component). Shape at scale: exact COUNT(DISTINCT) over a
+    (day, visitor) key space that is corpus-bounded; the partial-agg
+    dedup happens map-side per day. The approximate companion at
+    10^12 rows is hll_distinct_ips' sketch shape."""
+    s = _sessions(df, gap_s, sessionized)
+    vk = F.concat_ws("\t", F.col("ip"), F.col("ua_k"))
+    return (
+        s.withColumn("dom", F.floor(F.col("tsec") / 86400).cast("int"))
+        .groupBy("dom")
+        .agg(
+            F.countDistinct(vk).alias("n_unique_visitors"),
+            F.count("*").alias("n_hits"),
+        )
+    )
