@@ -33,7 +33,7 @@ SEARCH_PARAMS = ["q", "query", "s", "search", "searchword", "k", "keyword"]
 # Matomo campaign-detection parameters (Referrers > Campaigns;
 # MarketingCampaignsReporting plugin defaults) in priority order:
 # Matomo's own pk_* names beat the mtm_* aliases beat Google's utm_*.
-# The `(?:^|&)` anchor in _first_param_expr keeps `utm_source` from ever
+# The `(?:^|&)` anchor in first_param_expr keeps `utm_source` from ever
 # matching the site-search `s=` regex and vice versa.
 CAMPAIGN_NAME_PARAMS = ["pk_campaign", "mtm_campaign", "utm_campaign"]
 CAMPAIGN_SOURCE_PARAMS = ["pk_source", "mtm_source", "utm_source"]

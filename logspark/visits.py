@@ -380,12 +380,15 @@ def unique_visitors_daily(
     The visitor key is rendered as one tab-joined string so the distinct
     is over an identical scalar in Spark and the DuckDB oracle (tuple
     DISTINCT semantics differ in rendering; tab cannot occur in either
-    component). Shape at scale: exact COUNT(DISTINCT) over a
+    component). F.concat (not concat_ws) deliberately: it NULL-propagates
+    exactly like the oracle's ``||``, so a hypothetical NULL ip drops the
+    row from the distinct on BOTH sides instead of silently collapsing to
+    the bare ua_k on one. Shape at scale: exact COUNT(DISTINCT) over a
     (day, visitor) key space that is corpus-bounded; the partial-agg
     dedup happens map-side per day. The approximate companion at
     10^12 rows is hll_distinct_ips' sketch shape."""
     s = _sessions(df, gap_s, sessionized)
-    vk = F.concat_ws("\t", F.col("ip"), F.col("ua_k"))
+    vk = F.concat(F.col("ip"), F.lit("\t"), F.col("ua_k"))
     return (
         s.withColumn("dom", F.floor(F.col("tsec") / 86400).cast("int"))
         .groupBy("dom")
